@@ -1,0 +1,84 @@
+"""ByteTrack association behavior tests."""
+
+import numpy as np
+
+from padel_analytics_tpu.ops.association import ByteTrack
+
+
+def _box(cx, cy, w=40, h=80):
+    return [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+
+
+def test_stable_ids_for_moving_targets():
+    bt = ByteTrack(frame_rate=30)
+    # Two players drifting in opposite directions; IDs must stay fixed.
+    ids_seen = []
+    for f in range(20):
+        boxes = np.array([_box(200 + 3 * f, 400), _box(900 - 3 * f, 450)])
+        conf = np.array([0.9, 0.85])
+        ids, keep = bt.update_with_detections(boxes, conf)
+        assert keep.all()
+        ids_seen.append(tuple(ids))
+    first = ids_seen[0]
+    assert first == (1, 2)
+    assert all(i == first for i in ids_seen)
+
+
+def test_id_survives_short_occlusion():
+    bt = ByteTrack(frame_rate=30)
+    for f in range(5):
+        ids, _ = bt.update_with_detections(
+            np.array([_box(300 + 2 * f, 400)]), np.array([0.9])
+        )
+    tid = ids[0]
+    # Missing for 5 frames.
+    for _ in range(5):
+        bt.update_with_detections(np.zeros((0, 4)), np.zeros(0))
+    # Reappears near predicted location.
+    ids, keep = bt.update_with_detections(
+        np.array([_box(300 + 2 * 10, 400)]), np.array([0.9])
+    )
+    assert keep.all() and ids[0] == tid
+
+
+def test_new_id_after_long_absence():
+    bt = ByteTrack(frame_rate=30, lost_track_buffer=5)
+    ids, _ = bt.update_with_detections(np.array([_box(300, 400)]), np.array([0.9]))
+    tid = ids[0]
+    for _ in range(10):
+        bt.update_with_detections(np.zeros((0, 4)), np.zeros(0))
+    # ByteTrack semantics: a brand-new mid-video track is unconfirmed on its
+    # first hit (not emitted) and activates on the second consecutive hit
+    # with a fresh ID.
+    ids, keep = bt.update_with_detections(np.array([_box(300, 400)]), np.array([0.9]))
+    assert not keep.any()
+    ids, keep = bt.update_with_detections(np.array([_box(300, 400)]), np.array([0.9]))
+    assert keep.all() and ids[0] != tid
+
+
+def test_low_confidence_second_stage_association():
+    bt = ByteTrack(frame_rate=30)
+    for f in range(3):
+        bt.update_with_detections(np.array([_box(300, 400)]), np.array([0.9]))
+    # Confidence dips below the activation threshold but above 0.1:
+    # stage 2 should keep the ID alive.
+    ids, keep = bt.update_with_detections(np.array([_box(306, 400)]), np.array([0.2]))
+    assert keep.all() and ids[0] == 1
+
+
+def test_low_confidence_never_creates_track():
+    bt = ByteTrack(frame_rate=30)
+    ids, keep = bt.update_with_detections(np.array([_box(100, 100)]), np.array([0.2]))
+    assert not keep.any()
+
+
+def test_ids_start_at_one_and_increment():
+    bt = ByteTrack(frame_rate=30)
+    ids, _ = bt.update_with_detections(
+        np.array([_box(100, 100), _box(500, 100), _box(900, 100)]),
+        np.array([0.9, 0.8, 0.7]),
+    )
+    assert sorted(ids.tolist()) == [1, 2, 3]
+    bt.reset()
+    ids, _ = bt.update_with_detections(np.array([_box(100, 100)]), np.array([0.9]))
+    assert ids[0] == 1
