@@ -1,0 +1,197 @@
+"""CLI entry point — the main.py-equivalent pipeline driver.
+
+Flow parity with /root/reference/main.py:60-185: probe video info ->
+acquire the 12 court keypoints (JSON load, or the interactive click UI
+when a display is available) -> build the on-court polygon from keypoints
+0, 1, -1, -2 (main.py:108-119) -> instantiate the four trackers -> run the
+TrackingRunner -> dump the analytics CSV.
+
+Config: accepts either a reference-style flat config module
+(--config path/to/config.py, consumed via PipelineConfig.from_module) or
+individual flags. `python -m padel_analytics_tpu.apps.cli --help`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+import timeit
+from pathlib import Path
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops.polygon import PolygonZone
+from ..trackers import (
+    BallTracker,
+    Keypoint,
+    Keypoints,
+    KeypointsTracker,
+    PlayerKeypointsTracker,
+    PlayerTracker,
+    TrackingRunner,
+)
+from ..utils.video import VideoInfo, frame_generator
+
+
+def _load_config(args) -> PipelineConfig:
+    if args.config:
+        spec = importlib.util.spec_from_file_location("user_config", args.config)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        cfg = PipelineConfig.from_module(module)
+    else:
+        cfg = PipelineConfig()
+    if args.input_video:
+        cfg.input_video_path = args.input_video
+    if args.output_video:
+        cfg.output_video_path = args.output_video
+    if args.max_frames is not None:
+        cfg.max_frames = args.max_frames
+    if args.keypoints:
+        cfg.fixed_court_keypoints_load_path = args.keypoints
+    if args.data_csv:
+        cfg.collect_data_path = args.data_csv
+    if args.no_collect:
+        cfg.collect_data = False
+    if args.variant:
+        cfg.players.model_variant = args.variant
+        cfg.player_keypoints.model_variant = args.variant
+        cfg.court_keypoints.model_type = cfg.court_keypoints.model_type
+    return cfg
+
+
+def _acquire_keypoints(cfg: PipelineConfig, video_path: str) -> list:
+    """Load fixed court keypoints from JSON, or fall back to the
+    interactive cv2 click UI (main.py:81-94)."""
+    if cfg.fixed_court_keypoints_load_path:
+        with open(cfg.fixed_court_keypoints_load_path) as f:
+            selected = json.load(f)
+    else:
+        import cv2
+
+        selected = []
+        img = next(frame_generator(video_path, end=1))
+        img_bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+
+        def click_event(event, x, y, flags, params):
+            if event == cv2.EVENT_LBUTTONDOWN:
+                selected.append((x, y))
+                cv2.putText(
+                    img_bgr,
+                    f"{x},{y}",
+                    (x, y),
+                    cv2.FONT_HERSHEY_SIMPLEX,
+                    1,
+                    (255, 0, 0),
+                    2,
+                )
+                cv2.imshow("frame", img_bgr)
+
+        cv2.imshow("frame", img_bgr)
+        cv2.setMouseCallback("frame", click_event)
+        cv2.waitKey(0)
+        cv2.destroyAllWindows()
+
+    if cfg.fixed_court_keypoints_save_path:
+        with open(cfg.fixed_court_keypoints_save_path, "w") as f:
+            json.dump(selected, f)
+    if len(selected) != 12:
+        raise SystemExit(
+            f"expected 12 court keypoints, got {len(selected)} "
+            "(provide --keypoints JSON in headless environments)"
+        )
+    return selected
+
+
+def build_pipeline(cfg: PipelineConfig):
+    """Construct (trackers, runner) from a PipelineConfig."""
+    video_info = VideoInfo.from_video_path(cfg.input_video_path)
+    selected = _acquire_keypoints(cfg, cfg.input_video_path)
+
+    fixed_keypoints_detection = Keypoints(
+        [Keypoint(id=i, xy=tuple(float(x) for x in v)) for i, v in enumerate(selected)]
+    )
+    arr = np.array(selected)
+    polygon_zone = PolygonZone(
+        np.stack([arr[0], arr[1], arr[-1], arr[-2]]),
+        frame_resolution_wh=video_info.resolution_wh,
+    )
+
+    players_tracker = PlayerTracker(
+        model_path=None,
+        polygon_zone=polygon_zone,
+        load_path=cfg.players.load_path,
+        save_path=cfg.players.save_path,
+        config=cfg.players,
+    )
+    player_keypoints_tracker = PlayerKeypointsTracker(
+        model_path=None,
+        load_path=cfg.player_keypoints.load_path,
+        save_path=cfg.player_keypoints.save_path,
+        config=cfg.player_keypoints,
+    )
+    ball_tracker = BallTracker(
+        tracking_model_path=None,
+        inpainting_model_path=None,
+        load_path=cfg.ball.load_path,
+        save_path=cfg.ball.save_path,
+        config=cfg.ball,
+    )
+    keypoints_tracker = KeypointsTracker(
+        model_path=None,
+        fixed_keypoints_detection=fixed_keypoints_detection,
+        load_path=cfg.court_keypoints.load_path,
+        save_path=cfg.court_keypoints.save_path,
+        config=cfg.court_keypoints,
+    )
+    runner = TrackingRunner(
+        trackers=[
+            players_tracker,
+            player_keypoints_tracker,
+            ball_tracker,
+            keypoints_tracker,
+        ],
+        video_path=cfg.input_video_path,
+        inference_path=cfg.output_video_path,
+        start=0,
+        end=cfg.max_frames,
+        collect_data=cfg.collect_data,
+    )
+    return runner
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="padel-analytics-tpu",
+        description="TPU-native padel video analytics pipeline",
+    )
+    parser.add_argument("--config", help="reference-style flat config .py module")
+    parser.add_argument("--input-video", help="input video path")
+    parser.add_argument("--output-video", help="annotated output video path")
+    parser.add_argument("--keypoints", help="fixed court keypoints JSON (12 [x,y])")
+    parser.add_argument("--data-csv", help="analytics CSV output path")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--no-collect", action="store_true")
+    parser.add_argument("--variant", help="YOLOv8 variant override (n/s/m/l/x)")
+    args = parser.parse_args(argv)
+
+    t1 = timeit.default_timer()
+    cfg = _load_config(args)
+    runner = build_pipeline(cfg)
+    runner.run()
+
+    if cfg.collect_data and runner.data_analytics is not None:
+        data = runner.data_analytics.into_dataframe(runner.video_info.fps)
+        data.to_csv(cfg.collect_data_path)
+        print(f"cli: analytics written to {cfg.collect_data_path}")
+
+    t2 = timeit.default_timer()
+    print("Duration (min): ", (t2 - t1) / 60)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,470 @@
+"""Ball tracker: TrackNet sliding-window heatmaps + temporal ensemble +
+optional InpaintNet trajectory gap-filling.
+
+Behavior parity with /root/reference/trackers/ball_tracker/ball_tracker.py:
+- 512x288 input, seq_len 8, stride-1 sliding windows, median background
+  concat over the first <=median_max_sample_num frames (:227-233,398-410;
+  iterable.py:59-83)
+- triangular temporal ensemble with uniform head/tail averaging
+  (:421-523, weights :68-97) — via ops/ensemble.py's coefficient table
+- heatmap -> coordinate decode with cv2-contour semantics (predict.py:7-39,
+  149-221) — via ops/heatmap.py
+- inpaint mask generation (:100-136, th_h = 0.05 * video height), InpaintNet
+  blend + COOR_TH clamping + its own overlap ensemble (:525-673)
+- zero-fill for missing frames (:677-696)
+
+Replicated quirk (flag-controlled): the reference double-converts its
+median-buffer frames BGR<->RGB (iterable.py:63-64 then :160), so the first
+`median_range` frames reach TrackNet channel-swapped relative to the rest.
+`channel_quirk=True` (default) reproduces this for cache-level parity;
+set False for the corrected pipeline.
+
+TPU-native data path: each decoded frame is resized ONCE on device (the
+reference re-resizes every frame in all 8 windows covering it —
+iterable.py:167-199 — an 8x redundancy); windows are assembled on device
+by static slicing; TrackNet, the rolling ensemble (carried buffer), and
+the heatmap decode run inside a single jitted chunk step, so only (x, y,
+visibility) scalars ever return to the host.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Iterable, Literal, Optional, Type
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BallTrackerConfig
+from ..models.convert import (
+    convert_inpaintnet_checkpoint,
+    convert_tracknet_checkpoint,
+    load_torch_checkpoint,
+)
+from ..models.tracknet import InpaintNet, make_tracknet
+from ..ops.ensemble import overlap_ensemble_coefficients
+from ..ops.heatmap import decode_heatmaps
+from ..ops.median import median_background
+from ..ops.resize import resize_plan
+from . import _engine
+from .base import NoPredictSample, Tracker
+from .objects import Ball, TrackedObject
+
+
+def generate_inpaint_mask(pred_dict: dict, th_h: float = 30) -> list:
+    """Mark trajectory gaps to inpaint (parity with ball_tracker.py:100-136):
+    a run of invisible frames is inpainted only when the ball was low
+    (y > th_h) on both sides of the gap — otherwise it left the camera view.
+    """
+    y = np.array(pred_dict["y"])
+    vis = np.array(pred_dict["visibility"])
+    mask = np.zeros_like(y)
+    n = len(vis)
+    i = j = 0
+    while j < n:
+        while i < n - 1 and vis[i] == 1:
+            i += 1
+        j = i
+        while j < n - 1 and vis[j] == 0:
+            j += 1
+        if j == i:
+            break
+        elif i == 0 and y[j] > th_h:
+            mask[:j] = 1
+        elif (i > 1 and y[i - 1] > th_h) and (j < n and y[j] > th_h):
+            mask[i:j] = 1
+        i = j
+    return mask.tolist()
+
+
+class BallTracker(Tracker):
+    """Tracker of the ball object."""
+
+    EVAL_MODE: str = "weight"
+    TRAJECTORY_LENGTH: int = 8
+    HEIGHT: int = 288
+    WIDTH: int = 512
+    SIGMA: float = 2.5
+
+    def __init__(
+        self,
+        tracking_model_path: Optional[str],
+        inpainting_model_path: Optional[str] = None,
+        batch_size: int = 8,
+        median_max_sample_num: int = 400,
+        median: Optional[np.ndarray] = None,
+        load_path: Optional[str | Path] = None,
+        save_path: Optional[str | Path] = None,
+        compute_dtype=jnp.bfloat16,
+        channel_quirk: bool = True,
+        use_inpaintnet: bool = True,
+        config: Optional[BallTrackerConfig] = None,
+    ):
+        super().__init__(load_path=load_path, save_path=save_path)
+        if config is not None:
+            tracking_model_path = config.tracking_model_path or tracking_model_path
+            inpainting_model_path = (
+                config.inpainting_model_path or inpainting_model_path
+            )
+            batch_size = config.batch_size
+            median_max_sample_num = config.median_max_sample_num
+            self.HEIGHT = config.height
+            self.WIDTH = config.width
+            self.SIGMA = config.sigma
+            self.EVAL_MODE = config.eval_mode
+
+        self.DELTA_T = 1 / math.sqrt(self.HEIGHT**2 + self.WIDTH**2)
+        self.COOR_TH = self.DELTA_T * 50
+
+        self.batch_size = batch_size
+        self.median_max_sample_num = median_max_sample_num
+        self.median = median
+        self.channel_quirk = channel_quirk
+
+        # --- TrackNet ---
+        self.tracknet_seq_len = self.TRAJECTORY_LENGTH
+        self.bg_mode = "concat"
+        param_dict: dict = {}
+        variables = None
+        if tracking_model_path and str(tracking_model_path).endswith(
+            (".pt", ".pth")
+        ):
+            ckpt = load_torch_checkpoint(str(tracking_model_path))
+            variables, param_dict = convert_tracknet_checkpoint(ckpt)
+            self.tracknet_seq_len = int(param_dict.get("seq_len", self.TRAJECTORY_LENGTH))
+            self.bg_mode = param_dict.get("bg_mode", "concat")
+            assert self.tracknet_seq_len == self.TRAJECTORY_LENGTH
+            tracking_model_path = None  # already converted
+        model, in_dim = make_tracknet(
+            self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype
+        )
+        self.tracknet_in_dim = in_dim
+        example = jnp.zeros((1, self.HEIGHT, self.WIDTH, in_dim), jnp.float32)
+        init_vars = _engine.load_variables(model, example, tracking_model_path)
+        if variables is not None:
+            init_vars = _engine._merge_variables(init_vars, variables)
+        self.tracknet = _engine.Engine(model, init_vars)
+
+        # --- InpaintNet (optional) ---
+        self.inpaintnet: Optional[_engine.Engine] = None
+        self.inpaintnet_seq_len = 16
+        if inpainting_model_path and use_inpaintnet:
+            ivars = None
+            if str(inpainting_model_path).endswith((".pt", ".pth")):
+                ckpt = load_torch_checkpoint(str(inpainting_model_path))
+                ivars, iparams = convert_inpaintnet_checkpoint(ckpt)
+                self.inpaintnet_seq_len = int(iparams.get("seq_len", 16))
+                inpainting_model_path = None
+            imodel = InpaintNet(dtype=compute_dtype)
+            iexample = (
+                jnp.zeros((1, self.inpaintnet_seq_len, 2), jnp.float32),
+                jnp.zeros((1, self.inpaintnet_seq_len, 1), jnp.float32),
+            )
+            init_ivars = _engine.load_variables(imodel, iexample, inpainting_model_path)
+            if ivars is not None:
+                init_ivars = _engine._merge_variables(init_ivars, ivars)
+            self.inpaintnet = _engine.Engine(imodel, init_ivars)
+
+    def video_info_post_init(self, video_info) -> "BallTracker":
+        self.video_info = video_info
+        return self
+
+    def object(self) -> Type[TrackedObject]:
+        return Ball
+
+    def draw_kwargs(self) -> dict:
+        return {}
+
+    def __str__(self) -> str:
+        return "ball_tracker"
+
+    def restart(self) -> None:
+        self.results.restart()
+
+    def predict_sample(self, sample, **kwargs):
+        raise NoPredictSample()
+
+    # ------------------------------------------------------------------
+
+    def _build_resize_step(self, src_hw: tuple[int, int], chunk: int):
+        plan = resize_plan(src_hw, (self.HEIGHT, self.WIDTH), "pil_bicubic")
+
+        def step(frames_u8):
+            x = plan.apply(frames_u8)
+            # PIL returns uint8 (iterable.py:188): round half up, clamp.
+            return jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(jnp.uint8)
+
+        return step
+
+    def _build_window_step(self, batch: int):
+        """One chunk step: window assembly -> TrackNet -> rolling ensemble
+        -> heatmap decode."""
+        seq_len = self.tracknet_seq_len
+        model = self.tracknet.model
+
+        def step(variables, frames_u8, median_u8, carry, coef):
+            # frames_u8: (batch + L - 1, H, W, 3) consecutive resized frames
+            # covering windows [s, s + batch); median_u8: (H, W, 3);
+            # carry: (L-1, L, H, W) previous window heatmaps; coef: (batch, L).
+            b = batch
+            med = jnp.broadcast_to(
+                median_u8[None], (b,) + median_u8.shape
+            ).astype(jnp.float32)
+            parts = [med] + [
+                frames_u8[j : j + b].astype(jnp.float32) for j in range(seq_len)
+            ]
+            x = jnp.concatenate(parts, axis=-1) / 255.0  # (b, H, W, 27)
+            y = model.apply(variables, x)  # (b, H, W, L)
+            y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (b, L, H, W)
+
+            buf = jnp.concatenate([carry, y], axis=0)  # (b + L - 1, L, H, W)
+            j_ids = jnp.arange(seq_len)
+            rows = jnp.arange(b)[:, None] + j_ids[None, :]
+            slots = (seq_len - 1) - j_ids
+            gathered = buf[rows, slots[None, :]]  # (b, L, H, W)
+            ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)  # (b, H, W)
+
+            cx, cy, vis = decode_heatmaps(ens)
+            return cx, cy, vis, buf[-(seq_len - 1) :]
+
+        return step
+
+    def _build_tail_step(self):
+        seq_len = self.tracknet_seq_len
+        n_tail = seq_len - 1
+
+        def step(carry, coef):
+            pad = jnp.zeros_like(carry)
+            buf = jnp.concatenate([carry, pad], axis=0)
+            j_ids = jnp.arange(seq_len)
+            rows = jnp.arange(n_tail)[:, None] + j_ids[None, :]
+            slots = (seq_len - 1) - j_ids
+            gathered = buf[rows, slots[None, :]]
+            ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)
+            return decode_heatmaps(ens)
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def predict_frames(
+        self,
+        frame_generator: Iterable[np.ndarray],
+        total_frames: int,
+        **kwargs,
+    ) -> list[Ball]:
+        h, w = self.video_info.height, self.video_info.width
+        w_scaler = w / self.WIDTH
+        h_scaler = h / self.HEIGHT
+        seq_len = self.tracknet_seq_len
+
+        # ---- pass over frames: median + per-frame device resize ----
+        resized = self._gather_resized_frames(frame_generator)
+        video_len = len(resized)
+        if total_frames and video_len != total_frames:
+            print(f"{self}: decoded {video_len} frames, expected {total_frames}")
+        if video_len < seq_len:
+            return [
+                Ball(frame=i, xy=(0.0, 0.0), visibility=0) for i in range(video_len)
+            ]
+
+        median_resized = self._median_resized
+
+        # ---- chunked TrackNet + ensemble + decode ----
+        num_windows = video_len - seq_len + 1
+        coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
+        chunk = max(self.batch_size, 1)
+        window_step = self.tracknet.jit_step(
+            ("window", chunk), lambda: self._build_window_step(chunk)
+        )
+        tail_step = self.tracknet.jit_step(("tail",), self._build_tail_step)
+
+        carry = jnp.zeros(
+            (seq_len - 1, seq_len, self.HEIGHT, self.WIDTH), jnp.float32
+        )
+        median_dev = jnp.asarray(median_resized)
+        xs: list[int] = []
+        ys: list[int] = []
+        vs: list[int] = []
+        frames_np = np.stack(resized)  # (video_len, H, W, 3) uint8
+
+        for s in range(0, num_windows, chunk):
+            b_real = min(chunk, num_windows - s)
+            frames_needed = frames_np[s : s + b_real + seq_len - 1]
+            pad_n = (chunk + seq_len - 1) - frames_needed.shape[0]
+            if pad_n:
+                frames_needed = np.concatenate(
+                    [frames_needed, np.zeros((pad_n,) + frames_needed.shape[1:], np.uint8)]
+                )
+            coef_chunk = np.zeros((chunk, seq_len), np.float32)
+            coef_chunk[:b_real] = coef[s : s + b_real]
+            cx, cy, vis, carry = window_step(
+                self.tracknet.variables,
+                jnp.asarray(frames_needed),
+                median_dev,
+                carry,
+                jnp.asarray(coef_chunk),
+            )
+            cx, cy, vis = np.asarray(cx), np.asarray(cy), np.asarray(vis)
+            xs.extend(cx[:b_real].tolist())
+            ys.extend(cy[:b_real].tolist())
+            vs.extend(vis[:b_real].tolist())
+
+        # ---- tail frames (last seq_len - 1) ----
+        tail_coef = coef[num_windows:]
+        pad_rows = (seq_len - 1) - tail_coef.shape[0]
+        tail_coef_full = np.zeros((seq_len - 1, seq_len), np.float32)
+        tail_coef_full[: tail_coef.shape[0]] = tail_coef
+        tcx, tcy, tvis = tail_step(carry, jnp.asarray(tail_coef_full))
+        n_tail = video_len - num_windows
+        xs.extend(np.asarray(tcx)[:n_tail].tolist())
+        ys.extend(np.asarray(tcy)[:n_tail].tolist())
+        vs.extend(np.asarray(tvis)[:n_tail].tolist())
+
+        # Scale heatmap coords to source pixels (predict.py:204-212:
+        # int truncation at both steps).
+        pred = {
+            "frame": list(range(video_len)),
+            "x": [int(int(x) * w_scaler) for x in xs],
+            "y": [int(int(y) * h_scaler) for y in ys],
+            "visibility": [int(v) for v in vs],
+        }
+
+        if self.inpaintnet is not None:
+            pred = self._inpaint_pass(pred, video_len)
+
+        return [
+            Ball(
+                frame=i,
+                xy=(float(pred["x"][i]), float(pred["y"][i])),
+                visibility=int(pred["visibility"][i]),
+            )
+            for i in range(video_len)
+        ]
+
+    # ------------------------------------------------------------------
+
+    def _gather_resized_frames(self, frame_generator) -> list[np.ndarray]:
+        """Decode -> (median estimation over the head of the clip) ->
+        device resize to (HEIGHT, WIDTH) uint8."""
+        resize_chunk = 32
+        resized: list[np.ndarray] = []
+        buffered: list[np.ndarray] = []
+        resize_step = None
+
+        def flush(frames: list[np.ndarray], swapped: bool):
+            nonlocal resize_step
+            if not frames:
+                return
+            arr = np.stack(frames)
+            if swapped and self.channel_quirk:
+                # Reference double-conversion quirk: median-buffer frames
+                # reach the net channel-swapped (iterable.py:63-64,160).
+                arr = arr[..., ::-1]
+            src_hw = arr.shape[1:3]
+            if resize_step is None:
+                resize_step = self.tracknet.jit_step(
+                    ("resize", src_hw, resize_chunk),
+                    lambda: self._build_resize_step(src_hw, resize_chunk),
+                )
+            for i in range(0, len(arr), resize_chunk):
+                part = arr[i : i + resize_chunk]
+                padded, n_real = _engine.pad_batch(part, resize_chunk)
+                out = np.asarray(resize_step(jnp.asarray(padded)))[:n_real]
+                resized.extend(out)
+
+        need_median = self.median is None and self.bg_mode
+        if need_median:
+            gen = iter(frame_generator)
+            for frame in gen:
+                buffered.append(frame)
+                if len(buffered) == self.median_max_sample_num:
+                    break
+            self.median = median_background(np.stack(buffered))
+            flush(buffered, swapped=True)
+            buffered = []
+            for frame in gen:
+                buffered.append(frame)
+                if len(buffered) == resize_chunk:
+                    flush(buffered, swapped=False)
+                    buffered = []
+            flush(buffered, swapped=False)
+        else:
+            for frame in frame_generator:
+                buffered.append(frame)
+                if len(buffered) == resize_chunk:
+                    flush(buffered, swapped=False)
+                    buffered = []
+            flush(buffered, swapped=False)
+
+        # Median resized to model resolution, uint8 (iterable.py:76-81).
+        plan = resize_plan(self.median.shape[:2], (self.HEIGHT, self.WIDTH), "pil_bicubic")
+        med = np.asarray(plan.apply(jnp.asarray(self.median.astype(np.float32))))
+        self._median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(np.uint8)
+        return resized
+
+    # ------------------------------------------------------------------
+
+    def _inpaint_pass(self, pred: dict, video_len: int) -> dict:
+        """InpaintNet gap filling + its own overlap ensemble
+        (ball_tracker.py:525-673)."""
+        seq_len = self.inpaintnet_seq_len
+        h, w = self.video_info.height, self.video_info.width
+        mask_list = generate_inpaint_mask(pred, th_h=h * 0.05)
+        if video_len < seq_len:
+            return pred
+
+        coords = np.stack(
+            [
+                np.asarray(pred["x"], np.float32) / w,
+                np.asarray(pred["y"], np.float32) / h,
+            ],
+            axis=-1,
+        )  # (N, 2) normalized by SOURCE dims (dataset.py:497-501)
+        mask = np.asarray(mask_list, np.float32)
+
+        num_windows = video_len - seq_len + 1
+        idx = np.arange(num_windows)[:, None] + np.arange(seq_len)[None, :]
+        win_coords = coords[idx]  # (N_w, L, 2)
+        win_mask = mask[idx][..., None]  # (N_w, L, 1)
+
+        engine = self.inpaintnet
+        coor_th = self.COOR_TH
+
+        def full_pass(variables, wc, wm, coef):
+            out = engine.model.apply(variables, wc, wm)
+            blended = out * wm + wc * (1.0 - wm)
+            th = (blended[..., 0] < coor_th) & (blended[..., 1] < coor_th)
+            blended = jnp.where(th[..., None], 0.0, blended)
+            from ..ops.ensemble import ensemble_full
+
+            ens = ensemble_full(blended, coef, seq_len)  # (N, 2)
+            th2 = (ens[..., 0] < coor_th) & (ens[..., 1] < coor_th)
+            return jnp.where(th2[..., None], 0.0, ens)
+
+        coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
+        step = engine.jit_step(
+            ("inpaint", num_windows, video_len), lambda: full_pass
+        )
+        ens = np.asarray(
+            step(
+                engine.variables,
+                jnp.asarray(win_coords),
+                jnp.asarray(win_mask),
+                jnp.asarray(coef),
+            )
+        )
+
+        # Denormalize (predict.py:127-128: int(c * WIDTH * img_scaler)).
+        xs = [int(v) for v in (ens[:, 0] * w)]
+        ys = [int(v) for v in (ens[:, 1] * h)]
+        vis = [0 if (x == 0 and y == 0) else 1 for x, y in zip(xs, ys)]
+        return {
+            "frame": list(range(video_len)),
+            "x": xs,
+            "y": ys,
+            "visibility": vis,
+        }

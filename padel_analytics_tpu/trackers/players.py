@@ -1,0 +1,203 @@
+"""Players tracker: YOLOv8 detection -> NMS -> polygon gate -> ByteTrack.
+
+Behavior parity with /root/reference/trackers/players_tracker/
+players_tracker.py:266-383: conf 0.5, iou 0.7, imgsz 640, person class
+only (:279-281,351-359), on-court polygon filtering (:364-366), ByteTrack
+ID association built at video_info_post_init with the video fps (:309-312).
+
+TPU-native data path: one jitted step does letterbox (matmul resize) ->
+/255 -> YOLOv8 forward -> batched NMS -> coordinate unletterboxing ->
+polygon gate, returning fixed-size (batch, max_det) tensors; only the
+inherently sequential ByteTrack association runs host-side on the gathered
+results.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, Optional, Type
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import PlayersTrackerConfig
+from ..models.convert import convert_yolov8_state_dict, load_torch_checkpoint
+from ..models.yolov8 import YOLOv8
+from ..ops.association import ByteTrack
+from ..ops.nms import batched_nms
+from ..ops.polygon import PolygonZone
+from ..ops.resize import letterbox_plan
+from . import _engine
+from .base import NoPredictFrames, Tracker
+from .objects import Player, Players, TrackedObject
+
+
+class PlayerTracker(Tracker):
+    """Tracker of player objects (YOLOv8 person detection)."""
+
+    CONF = 0.5
+    IOU = 0.7
+    IMGSZ = 640
+
+    def __init__(
+        self,
+        model_path: Optional[str],
+        polygon_zone: PolygonZone,
+        batch_size: int = 8,
+        annotator: str = "rectangle_bounding_box",
+        show_confidence: bool = True,
+        load_path: Optional[str | Path] = None,
+        save_path: Optional[str | Path] = None,
+        model_variant: str = "m",
+        max_detections: int = 32,
+        compute_dtype=jnp.bfloat16,
+        config: Optional[PlayersTrackerConfig] = None,
+    ):
+        super().__init__(load_path=load_path, save_path=save_path)
+        if config is not None:
+            model_path = config.model_path or model_path
+            batch_size = config.batch_size
+            annotator = config.annotator
+            show_confidence = config.show_confidence
+            model_variant = config.model_variant
+            max_detections = config.max_detections
+            self.CONF = config.conf
+            self.IOU = config.iou
+            self.IMGSZ = config.imgsz
+
+        self.polygon_zone = polygon_zone
+        self.batch_size = batch_size
+        self.annotator = annotator
+        self.show_confidence = show_confidence
+        self.max_detections = max_detections
+
+        model = YOLOv8(variant=model_variant, num_classes=1, dtype=compute_dtype)
+        example = jnp.zeros((1, self.IMGSZ, self.IMGSZ, 3), jnp.float32)
+        variables = _engine.load_variables(
+            model,
+            example,
+            model_path,
+            convert_fn=lambda p: _load_yolo_pt(p),
+        )
+        self.engine = _engine.Engine(model, variables)
+        self.byte_track: Optional[ByteTrack] = None
+        self.video_info = None
+
+    def video_info_post_init(self, video_info) -> "PlayerTracker":
+        self.video_info = video_info
+        self.byte_track = ByteTrack(frame_rate=video_info.fps)
+        return self
+
+    def object(self) -> Type[TrackedObject]:
+        return Players
+
+    def draw_kwargs(self) -> dict:
+        return {
+            "video_info": self.video_info,
+            "annotator": self.annotator,
+            "show_confidence": self.show_confidence,
+        }
+
+    def __str__(self) -> str:
+        return "players_tracker"
+
+    def restart(self) -> None:
+        self.results.restart()
+        if self.byte_track is not None:
+            self.byte_track.reset()
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self, src_hw: tuple[int, int], batch: int):
+        lb = letterbox_plan(src_hw, self.IMGSZ)
+        model, zone = self.engine.model, self.polygon_zone
+        conf, iou, max_det = self.CONF, self.IOU, self.max_detections
+        w, h = src_hw[1], src_hw[0]
+        polygon = jnp.asarray(np.asarray(zone.polygon)) if zone is not None else None
+
+        def step(variables, frames_u8):
+            x = lb.apply(frames_u8) / 255.0
+            out = model.apply(variables, x)
+            boxes, scores, _, _, valid = batched_nms(
+                out["boxes"],
+                out["scores"][..., 0],
+                conf_thres=conf,
+                iou_thres=iou,
+                max_det=max_det,
+            )
+            boxes = lb.boxes_to_source(boxes)
+            # ultralytics scale_boxes clips to the source frame.
+            boxes = jnp.stack(
+                [
+                    jnp.clip(boxes[..., 0], 0, w),
+                    jnp.clip(boxes[..., 1], 0, h),
+                    jnp.clip(boxes[..., 2], 0, w),
+                    jnp.clip(boxes[..., 3], 0, h),
+                ],
+                axis=-1,
+            )
+            if polygon is not None:
+                from ..ops.polygon import points_in_polygon
+
+                anchors = jnp.stack(
+                    [(boxes[..., 0] + boxes[..., 2]) / 2.0, boxes[..., 3]], axis=-1
+                )
+                valid = valid & points_in_polygon(anchors, polygon)
+            return boxes, scores, valid
+
+        return step
+
+    def detect_sample(self, sample: np.ndarray):
+        """Device detection for a stacked (B, H, W, 3) RGB uint8 chunk.
+        Returns host numpy (boxes (B, D, 4), scores (B, D), valid (B, D))."""
+        src_hw = sample.shape[1:3]
+        padded, n_real = _engine.pad_batch(sample, self.batch_size)
+        step = self.engine.jit_step(
+            ("det", src_hw, padded.shape[0]),
+            lambda: self._build_step(src_hw, padded.shape[0]),
+        )
+        boxes, scores, valid = step(self.engine.variables, jnp.asarray(padded))
+        return (
+            np.asarray(boxes)[:n_real],
+            np.asarray(scores)[:n_real],
+            np.asarray(valid)[:n_real],
+        )
+
+    def predict_sample(self, sample: np.ndarray, **kwargs) -> list[Players]:
+        boxes, scores, valid = self.detect_sample(np.asarray(sample))
+        predictions = []
+        for f in range(boxes.shape[0]):
+            keep = valid[f]
+            ids, kept = self.byte_track.update_with_detections(
+                boxes[f][keep], scores[f][keep]
+            )
+            frame_boxes = boxes[f][keep][kept]
+            frame_scores = scores[f][keep][kept]
+            predictions.append(
+                Players(
+                    [
+                        Player(
+                            xyxy=frame_boxes[i],
+                            id=int(ids[i]),
+                            class_id=0,
+                            confidence=float(frame_scores[i]),
+                        )
+                        for i in range(len(ids))
+                    ]
+                )
+            )
+        return predictions
+
+    def predict_frames(self, frame_generator: Iterable[np.ndarray], **kwargs):
+        raise NoPredictFrames()
+
+
+def _load_yolo_pt(path: str) -> dict:
+    """Convert an ultralytics .pt (players detection weights,
+    config.py:22) to flax variables."""
+    ckpt = load_torch_checkpoint(path)
+    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    state_dict = model.state_dict() if hasattr(model, "state_dict") else model
+    state_dict = {k: v.float() if hasattr(v, "float") else v for k, v in state_dict.items()}
+    return convert_yolov8_state_dict(state_dict)

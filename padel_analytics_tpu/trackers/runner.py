@@ -1,0 +1,203 @@
+"""TrackingRunner: whole-pipeline orchestration with a single video decode.
+
+Surface parity with /root/reference/trackers/runner.py:20-236
+(TrackingRunner(trackers, video_path, inference_path, start, end,
+collect_data), .run(), .draw_and_collect_data(), per-tracker JSON cache
+skip at :187-191).
+
+TPU-native redesign: the reference decodes the video FIVE times (one full
+pass per tracker + one draw pass, runner.py:215-220,107-112) and moves one
+model at a time onto the GPU. Here the video is decoded ONCE into a frame
+store (RAM up to a cap, re-decode beyond), every model stays resident in
+HBM, and each tracker consumes the shared store. Per-stage wall-clock is
+recorded in `self.stage_times` (the reference only prints, :222-232).
+"""
+
+from __future__ import annotations
+
+import timeit
+from copy import deepcopy
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from ..analytics import DataAnalytics, ProjectedCourt
+from ..utils.video import VideoInfo, VideoWriter, frame_generator
+from .base import Tracker
+from .objects import Ball, Keypoints, Players
+
+
+class FrameStore:
+    """Decode-once frame cache. Frames are RGB uint8. Falls back to
+    re-decoding when the clip exceeds `max_cached_frames` (memory cap)."""
+
+    def __init__(
+        self,
+        video_path: str | Path,
+        start: int = 0,
+        stride: int = 1,
+        end: Optional[int] = None,
+        max_cached_frames: int = 4000,
+    ):
+        self.video_path = video_path
+        self.start = start
+        self.stride = stride
+        self.end = end
+        self.max_cached_frames = max_cached_frames
+        self._frames: Optional[list[np.ndarray]] = None
+
+    def _decode(self):
+        return frame_generator(
+            self.video_path, start=self.start, stride=self.stride, end=self.end
+        )
+
+    def __iter__(self):
+        if self._frames is not None:
+            yield from self._frames
+            return
+        frames = []
+        cache = True
+        for frame in self._decode():
+            if cache:
+                frames.append(frame)
+                if len(frames) > self.max_cached_frames:
+                    cache = False
+                    frames = None
+            yield frame
+        if cache and frames is not None:
+            self._frames = frames
+
+
+class TrackingRunner:
+    """Runs a sequence of trackers over a video, then renders + collects."""
+
+    def __init__(
+        self,
+        trackers: list[Tracker],
+        video_path: str | Path,
+        inference_path: str | Path,
+        start: int = 0,
+        end: Optional[int] = None,
+        collect_data: bool = False,
+        max_cached_frames: int = 4000,
+    ):
+        self.video_path = video_path
+        self.inference_path = inference_path
+        self.start = start
+        self.stride = 1
+        self.end = end
+        self.video_info = VideoInfo.from_video_path(video_path)
+        if self.end is None:
+            self.total_frames = self.video_info.total_frames
+        else:
+            self.total_frames = self.end - self.start
+
+        self.frame_store = FrameStore(
+            video_path, start, self.stride, end, max_cached_frames
+        )
+
+        self.trackers: dict[str, Tracker] = {}
+        self.is_fixed_keypoints = False
+        for tracker in trackers:
+            self.trackers[str(tracker)] = tracker.video_info_post_init(
+                self.video_info
+            )
+            if tracker.object() == Keypoints:
+                self.is_fixed_keypoints = (
+                    getattr(tracker, "fixed_keypoints_detection", None) is not None
+                )
+
+        self.projected_court = ProjectedCourt(self.video_info)
+        self.data_analytics = DataAnalytics() if collect_data else None
+        self.stage_times: dict[str, float] = {}
+
+    def restart(self) -> None:
+        for tracker in self.trackers.values():
+            tracker.restart()
+        if self.data_analytics:
+            self.data_analytics.restart()
+
+    def run(self) -> None:
+        """Per-tracker inference (cache-skipped like runner.py:187-191),
+        then the draw/collect pass."""
+        print(f"runner: Running {self.total_frames} frames")
+        for tracker in self.trackers.values():
+            if len(tracker) != 0:
+                print(f"{tracker}: {len(tracker)} predictions stored")
+                continue
+            t0 = timeit.default_timer()
+            tracker.predict_and_update(
+                iter(self.frame_store), total_frames=self.total_frames
+            )
+            t1 = timeit.default_timer()
+            self.stage_times[str(tracker)] = t1 - t0
+            print(f"{tracker}: {t1 - t0:.2f}s inference time.")
+            tracker.save_predictions()
+        self.draw_and_collect_data()
+
+    def draw_and_collect_data(self) -> None:
+        """Render annotated video + minimap projections; collect analytics
+        (parity: runner.py:91-172, including the trailing-frame trim)."""
+        print(f"runner: Writing results into {str(self.inference_path)}")
+        t0 = timeit.default_timer()
+        writer = VideoWriter(
+            self.inference_path,
+            fps=float(self.video_info.fps),
+            resolution_wh=self.video_info.resolution_wh,
+        )
+
+        for frame_index, frame in enumerate(self.frame_store):
+            frame_rgb = np.ascontiguousarray(frame)
+            cv2.putText(
+                frame_rgb,
+                f"Frame: {frame_index + 1}",
+                (20, 50),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                1,
+                (255, 255, 0),
+                1,
+            )
+
+            players_detection = None
+            ball_detection = None
+            keypoints_detection = None
+            for tracker in self.trackers.values():
+                try:
+                    prediction = tracker.results[frame_index]
+                except IndexError:
+                    print(f"runner: {tracker} missing frame {frame_index}")
+                    raise
+                frame_rgb = prediction.draw(frame_rgb, **tracker.draw_kwargs())
+                if tracker.object() == Players:
+                    players_detection = deepcopy(prediction)
+                elif tracker.object() == Ball:
+                    ball_detection = deepcopy(prediction)
+                elif tracker.object() == Keypoints:
+                    keypoints_detection = deepcopy(prediction)
+
+            output_frame, self.data_analytics = (
+                self.projected_court.draw_projections_and_collect_data(
+                    frame_rgb,
+                    keypoints_detection=keypoints_detection,
+                    players_detection=players_detection,
+                    ball_detection=ball_detection,
+                    data_analytics=self.data_analytics,
+                    is_fixed_keypoints=self.is_fixed_keypoints,
+                )
+            )
+            if self.data_analytics is not None:
+                self.data_analytics.step(1)
+            writer.write(output_frame)
+
+        writer.release()
+        if self.data_analytics is not None:
+            # Parity with runner.py:166-167: one extra trailing frame entry.
+            self.data_analytics.frames = self.data_analytics.frames[:-1]
+        self.stage_times["draw_and_collect"] = timeit.default_timer() - t0
+        print("runner: Done.")

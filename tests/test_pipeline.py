@@ -1,0 +1,179 @@
+"""End-to-end pipeline smoke tests on a synthetic rally clip (CPU, tiny
+model configs, random weights — exercises every layer and the output
+artifacts, not detection quality)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from padel_analytics_tpu.config import BallTrackerConfig
+from padel_analytics_tpu.ops.polygon import PolygonZone
+from padel_analytics_tpu.trackers import (
+    BallTracker,
+    Keypoint,
+    Keypoints,
+    KeypointsTracker,
+    PlayerKeypointsTracker,
+    PlayerTracker,
+    TrackingRunner,
+)
+
+W, H, FPS, N_FRAMES = 128, 96, 10.0, 24
+
+
+@pytest.fixture(scope="module")
+def synthetic_video(tmp_path_factory):
+    """A tiny clip with a moving bright dot (ball-ish) over a dark court."""
+    path = tmp_path_factory.mktemp("video") / "rally.mp4"
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H)
+    )
+    rng = np.random.default_rng(0)
+    for i in range(N_FRAMES):
+        frame = np.full((H, W, 3), 30, np.uint8)
+        cv2.rectangle(frame, (10, 10), (W - 10, H - 10), (80, 120, 80), 2)
+        x = 15 + int(i * (W - 30) / N_FRAMES)
+        y = 40 + int(10 * np.sin(i / 3))
+        cv2.circle(frame, (x, y), 3, (250, 250, 80), -1)
+        frame += rng.integers(0, 8, frame.shape, dtype=np.uint8)
+        writer.write(frame)
+    writer.release()
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def court_keypoints():
+    # A plausible trapezoid court in the synthetic frame.
+    pts = [
+        (20, 80), (108, 80),  # k1, k2 (near baseline)
+        (22, 68), (64, 68), (106, 68),  # k3-k5
+        (25, 50), (103, 50),  # k6, k7 (net)
+        (28, 35), (64, 35), (100, 35),  # k8-k10
+        (30, 22), (98, 22),  # k11, k12 (far baseline)
+    ]
+    return Keypoints([Keypoint(id=i, xy=(float(x), float(y))) for i, (x, y) in enumerate(pts)])
+
+
+def _build_trackers(court_keypoints, tmp_path):
+    polygon = np.array(
+        [court_keypoints[0].xy, court_keypoints[1].xy,
+         court_keypoints[11].xy, court_keypoints[10].xy]
+    )
+    players = PlayerTracker(
+        model_path=None,
+        polygon_zone=PolygonZone(polygon, frame_resolution_wh=(W, H)),
+        batch_size=4,
+        model_variant="n",
+        compute_dtype=jnp.float32,
+        save_path=str(tmp_path / "players.json"),
+    )
+    players.IMGSZ = 64
+    pose = PlayerKeypointsTracker(
+        model_path=None,
+        train_image_size=64,
+        batch_size=4,
+        model_variant="n",
+        compute_dtype=jnp.float32,
+        load_path=None,
+        save_path=str(tmp_path / "pose.json"),
+    )
+    ball_cfg = BallTrackerConfig(height=72, width=128, batch_size=4,
+                                 median_max_sample_num=8)
+    ball = BallTracker(
+        tracking_model_path=None,
+        inpainting_model_path=None,
+        compute_dtype=jnp.float32,
+        config=ball_cfg,
+        save_path=str(tmp_path / "ball.json"),
+    )
+    court = KeypointsTracker(
+        model_path=None,
+        fixed_keypoints_detection=court_keypoints,
+        save_path=str(tmp_path / "court.json"),
+    )
+    return [players, pose, ball, court]
+
+
+def test_full_pipeline(synthetic_video, court_keypoints, tmp_path):
+    out_video = tmp_path / "results.mp4"
+    trackers = _build_trackers(court_keypoints, tmp_path)
+    runner = TrackingRunner(
+        trackers=trackers,
+        video_path=synthetic_video,
+        inference_path=str(out_video),
+        start=0,
+        end=None,
+        collect_data=True,
+    )
+    runner.run()
+
+    # Every tracker produced one prediction object per frame.
+    for name, tracker in runner.trackers.items():
+        assert len(tracker) == N_FRAMES, name
+
+    # Output artifacts exist and are readable.
+    assert out_video.exists() and out_video.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out_video))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == N_FRAMES
+    cap.release()
+
+    # JSON caches written with reference-parity schemas.
+    with open(tmp_path / "ball.json") as f:
+        ball_json = json.load(f)
+    assert len(ball_json) == N_FRAMES
+    assert set(ball_json[0]) == {"frame", "xy", "visibility", "projection"}
+
+    # Analytics dataframe has the reference's columns.
+    df = runner.data_analytics.into_dataframe(FPS)
+    assert len(df) == N_FRAMES
+    for col in [
+        "frame", "time", "player1_x", "delta_time1", "player1_Vx1",
+        "player1_deltaVy4", "player1_Anorm4", "player4_distance",
+    ]:
+        assert col in df.columns, col
+
+    # Cache-resume: a new runner with load paths skips inference.
+    trackers2 = _build_trackers(court_keypoints, tmp_path)
+    for t, cache in zip(trackers2, ["players.json", "pose.json", "ball.json", "court.json"]):
+        t.load_path = str(tmp_path / cache)
+        t.load_predictions()
+    assert all(len(t) == N_FRAMES for t in trackers2[:3])
+
+
+def test_ball_tracker_with_inpaintnet(synthetic_video, tmp_path):
+    ball = BallTracker(
+        tracking_model_path=None,
+        inpainting_model_path="__random__.msgpack_missing",  # random init path
+        compute_dtype=jnp.float32,
+        config=BallTrackerConfig(height=72, width=128, batch_size=4,
+                                 median_max_sample_num=8),
+    )
+    assert ball.inpaintnet is not None
+    from padel_analytics_tpu.utils.video import VideoInfo, frame_generator
+
+    ball.video_info_post_init(VideoInfo.from_video_path(synthetic_video))
+    # InpaintNet seq_len 16 < 24 frames: full path executes.
+    balls = ball.predict_frames(
+        frame_generator(synthetic_video), total_frames=N_FRAMES
+    )
+    assert len(balls) == N_FRAMES
+    assert all(b.serialize()["visibility"] in (0, 1) for b in balls)
+
+
+def test_generate_inpaint_mask_semantics():
+    from padel_analytics_tpu.trackers.ball import generate_inpaint_mask
+
+    # Gap with ball low on both sides -> inpaint; gap at high y -> skip.
+    pred = {
+        "y": [50, 52, 0, 0, 55, 5, 0, 0, 4, 60],
+        "visibility": [1, 1, 0, 0, 1, 1, 0, 0, 1, 1],
+    }
+    mask = generate_inpaint_mask(pred, th_h=30)
+    assert mask[2] == 1 and mask[3] == 1  # low gap inpainted
+    assert mask[6] == 0 and mask[7] == 0  # high (out-of-view) gap skipped
