@@ -1,0 +1,187 @@
+"""End-to-end benchmark: full 4-tracker pipeline on a 1080p clip.
+
+Prints ONE JSON line:
+  {"metric": "end_to_end_fps_1080p", "value": <fps>, "unit":
+   "frames/sec/chip", "vs_baseline": <fps / 30 = realtime multiple>}
+
+The reference publishes no numbers (BASELINE.md): its north-star target is
+>10x realtime end-to-end on a v5e-8 for 30 fps 1080p video, i.e.
+vs_baseline here is the realtime multiple on ONE chip (8-chip scaling is
+near-linear over the frame axis — see parallel/).
+
+Method: synthetic 1080p rally clip; reference-parity heavy config
+(players YOLOv8m det@640 letterbox, pose YOLOv8m@1280 squash, TrackNet
+288x512 windows + ensemble + decode, fixed court keypoints, ByteTrack,
+projection, render). One warmup pass populates all jit caches; the timed
+pass restarts results and measures inference + draw wall-clock.
+
+  python bench.py            # full benchmark (~minutes incl. compiles)
+  python bench.py --smoke    # tiny clip + nano models (CI sanity)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_clip(path: str, w: int, h: int, n: int, fps: float = 30.0) -> None:
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        frame = np.full((h, w, 3), 40, np.uint8)
+        cv2.rectangle(
+            frame,
+            (w // 8, h // 6),
+            (w - w // 8, h - h // 8),
+            (90, 140, 90),
+            3,
+        )
+        # ball
+        cv2.circle(
+            frame,
+            (w // 6 + (i * 11) % (2 * w // 3), h // 3 + int(h / 8 * np.sin(i / 5))),
+            max(3, h // 200),
+            (250, 250, 90),
+            -1,
+        )
+        # two "players"
+        for k, phase in ((1, 0.0), (2, 2.0)):
+            x = w // 4 + int((w // 3) * (0.5 + 0.4 * np.sin(i / 9 + phase)))
+            y = h // 2 + k * h // 8
+            cv2.rectangle(frame, (x, y), (x + w // 40, y + h // 8), (200, 180, 160), -1)
+        frame += rng.integers(0, 6, frame.shape, dtype=np.uint8)
+        writer.write(frame)
+    writer.release()
+
+
+def court_keypoints(w: int, h: int):
+    from padel_analytics_tpu.trackers import Keypoint, Keypoints
+
+    pts = [
+        (w * 0.12, h * 0.86), (w * 0.88, h * 0.86),
+        (w * 0.13, h * 0.75), (w * 0.50, h * 0.75), (w * 0.87, h * 0.75),
+        (w * 0.14, h * 0.55), (w * 0.86, h * 0.55),
+        (w * 0.15, h * 0.36), (w * 0.50, h * 0.36), (w * 0.85, h * 0.36),
+        (w * 0.16, h * 0.22), (w * 0.84, h * 0.22),
+    ]
+    kp = Keypoints([Keypoint(id=i, xy=(float(x), float(y))) for i, (x, y) in enumerate(pts)])
+    return kp, np.array([pts[0], pts[1], pts[-1], pts[-2]])
+
+
+def build_runner(video_path, out_path, kp, polygon, wh, smoke):
+    import jax.numpy as jnp
+
+    from padel_analytics_tpu.config import BallTrackerConfig
+    from padel_analytics_tpu.ops.polygon import PolygonZone
+    from padel_analytics_tpu.trackers import (
+        BallTracker,
+        KeypointsTracker,
+        PlayerKeypointsTracker,
+        PlayerTracker,
+        TrackingRunner,
+    )
+
+    variant = "n" if smoke else "m"
+    pose_size = 640 if smoke else 1280
+    ball_cfg = (
+        BallTrackerConfig(height=72, width=128, batch_size=8, median_max_sample_num=16)
+        if smoke
+        else BallTrackerConfig(batch_size=8, median_max_sample_num=64)
+    )
+    players = PlayerTracker(
+        None,
+        PolygonZone(polygon, frame_resolution_wh=wh),
+        batch_size=8,
+        model_variant=variant,
+        compute_dtype=jnp.bfloat16,
+    )
+    if smoke:
+        players.IMGSZ = 64
+    pose = PlayerKeypointsTracker(
+        None,
+        train_image_size=pose_size if not smoke else 64,
+        batch_size=8,
+        model_variant=variant,
+        compute_dtype=jnp.bfloat16,
+        load_path=None,
+        save_path=None,
+    )
+    ball = BallTracker(
+        None, None, config=ball_cfg, compute_dtype=jnp.bfloat16
+    )
+    court = KeypointsTracker(fixed_keypoints_detection=kp)
+    return TrackingRunner(
+        [players, pose, ball, court],
+        video_path,
+        out_path,
+        collect_data=True,
+    )
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--frames", type=int, default=None)
+    args = parser.parse_args()
+
+    if args.smoke:
+        w, h, n = 128, 96, 32
+    else:
+        w, h, n = 1920, 1080, args.frames or 240
+    fps_video = 30.0
+
+    tmp = tempfile.mkdtemp(prefix="pat_bench_")
+    video = str(Path(tmp) / "clip.mp4")
+    out = str(Path(tmp) / "results.mp4")
+    make_clip(video, w, h, n)
+    kp, polygon = court_keypoints(w, h)
+
+    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke)
+
+    # Warmup pass: populates every jit cache (and the ball median).
+    print("bench: warmup pass (compiles)...", file=sys.stderr)
+    t0 = time.perf_counter()
+    runner.run()
+    warmup = time.perf_counter() - t0
+    print(f"bench: warmup {warmup:.1f}s; stages {runner.stage_times}", file=sys.stderr)
+
+    # Timed pass: restart results, keep compiled steps + median.
+    runner.restart()
+    for tracker in runner.trackers.values():
+        tracker.save_path = None
+    t0 = time.perf_counter()
+    runner.run()
+    if runner.data_analytics is not None:
+        df = runner.data_analytics.into_dataframe(fps_video)
+    elapsed = time.perf_counter() - t0
+    fps = n / elapsed
+
+    print(
+        f"bench: timed pass {elapsed:.2f}s for {n} frames; "
+        f"stages {runner.stage_times}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / fps_video, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -282,11 +282,13 @@ class ProjectedCourt:
     def project_point(
         self, point: tuple[float, float], homography_matrix: np.ndarray
     ) -> tuple[float, float]:
+        """Single-point projection. Host numpy on purpose: one 3x3 matmul
+        is cheaper than a device dispatch round-trip; batched work goes
+        through `project_all`."""
         assert homography_matrix.shape == (3, 3)
-        p = np.asarray(
-            project_points(jnp.asarray(homography_matrix), jnp.asarray([point], dtype=np.float64))
-        )[0]
-        return (float(p[0]), float(p[1]))
+        h = np.asarray(homography_matrix)
+        q = h @ np.array([float(point[0]), float(point[1]), 1.0])
+        return (q[0] / q[2], q[1] / q[2])
 
     def project_all(
         self, points: np.ndarray, homographies: np.ndarray

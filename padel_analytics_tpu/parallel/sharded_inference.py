@@ -1,0 +1,136 @@
+"""SPMD sliding-window inference with halo exchange over the frame axis.
+
+This is the context-parallel analog for video: the clip's frame axis
+shards across the 'data' mesh axis, each device computes the TrackNet
+windows *starting* in its shard, and the two inter-device dependencies are
+satisfied by ring ppermutes over ICI:
+
+1. frame halo: a window starting near the end of a shard needs the first
+   seq_len-1 frames of the next shard;
+2. prediction halo: the overlap ensemble for a frame needs the seq_len-1
+   windows preceding it, which may live on the previous device.
+
+The reference's equivalent is a single-process rolling buffer
+(/root/reference/trackers/ball_tracker/ball_tracker.py:421-523); sharding
+the clip this way is the design SURVEY.md §5 calls for ("sharding the
+clip's frame/window axis across devices with halo exchange of seq_len-1
+frames at shard edges").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ensemble import overlap_ensemble_coefficients
+from ..ops.heatmap import decode_heatmaps
+
+
+def sharded_window_inference(
+    apply_fn: Callable,  # (frames_f32 (B, H, W, C_in)) -> heatmaps (B, H, W, L)
+    frames: np.ndarray,  # (N, H, W, 3) uint8 RGB, resized to model res
+    median: np.ndarray,  # (H, W, 3) uint8
+    mesh: Mesh,
+    seq_len: int = 8,
+    eval_mode: str = "weight",
+):
+    """Run the full TrackNet window/ensemble/decode pipeline with the frame
+    axis sharded over mesh axis 'data'. Returns host (cx, cy, vis) int32
+    arrays of length N (identical to the single-device path)."""
+    n_frames = frames.shape[0]
+    d = mesh.shape["data"]
+    if n_frames < seq_len:
+        raise ValueError("clip shorter than seq_len")
+
+    # Pad so every device owns the same number of frames (and windows).
+    shard = -(-n_frames // d)
+    if shard < seq_len - 1:
+        raise ValueError(
+            f"frame shard ({shard}) smaller than the halo (seq_len-1="
+            f"{seq_len - 1}); use fewer devices or a longer clip"
+        )
+    pad_total = shard * d - n_frames
+    frames_p = np.concatenate(
+        [frames, np.zeros((pad_total,) + frames.shape[1:], frames.dtype)]
+    )
+    coef = overlap_ensemble_coefficients(n_frames, seq_len, eval_mode)
+    coef_p = np.concatenate(
+        [coef, np.zeros((pad_total, seq_len), np.float32)]
+    )
+
+    l = seq_len
+    h, w = frames.shape[1:3]
+
+    def shard_fn(frames_local, coef_local, median_rep):
+        # frames_local: (shard, H, W, 3); coef_local: (shard, L).
+        axis = "data"
+        idx = jax.lax.axis_index(axis)
+
+        # ---- frame halo from the RIGHT neighbor (next shard) ----
+        head = frames_local[: l - 1]
+        halo = jax.lax.ppermute(
+            head, axis, perm=[((i + 1) % d, i) for i in range(d)]
+        )
+        ext = jnp.concatenate([frames_local, halo], axis=0)  # (shard+L-1, ...)
+
+        # ---- window assembly + model ----
+        med = jnp.broadcast_to(
+            median_rep[None].astype(jnp.float32), (shard, h, w, 3)
+        )
+        parts = [med] + [
+            ext[j : j + shard].astype(jnp.float32) for j in range(l)
+        ]
+        x = jnp.concatenate(parts, axis=-1) / 255.0
+        y = apply_fn(x)  # (shard, H, W, L)
+        y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (shard, L, H, W)
+
+        # Zero out windows that start beyond the last valid window (their
+        # frames are padding; the ensemble coefficients for real frames
+        # never reference them, but keep the buffer clean regardless).
+        win_start = idx * shard + jnp.arange(shard)
+        y = jnp.where(
+            (win_start <= n_frames - l)[:, None, None, None], y, 0.0
+        )
+
+        # ---- prediction halo from the LEFT neighbor ----
+        tail = y[-(l - 1) :]
+        left = jax.lax.ppermute(
+            tail, axis, perm=[(i, (i + 1) % d) for i in range(d)]
+        )
+        # Device 0's left halo must be zeros (no windows before the clip).
+        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+        buf = jnp.concatenate([left, y], axis=0)  # (shard + L - 1, L, H, W)
+
+        # ---- overlap ensemble for the local frames ----
+        j_ids = jnp.arange(l)
+        rows = jnp.arange(shard)[:, None] + j_ids[None, :]
+        slots = (l - 1) - j_ids
+        gathered = buf[rows, slots[None, :]]
+        ens = jnp.sum(gathered * coef_local[:, :, None, None], axis=1)
+
+        cx, cy, vis = decode_heatmaps(ens)
+        return cx, cy, vis
+
+    spec_frames = P("data")
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec_frames, spec_frames, P()),
+            out_specs=(P("data"), P("data"), P("data")),
+        )
+    )
+    frames_dev = jax.device_put(frames_p, NamedSharding(mesh, spec_frames))
+    coef_dev = jax.device_put(coef_p, NamedSharding(mesh, spec_frames))
+    median_dev = jax.device_put(np.asarray(median), NamedSharding(mesh, P()))
+    cx, cy, vis = fn(frames_dev, coef_dev, median_dev)
+    return (
+        np.asarray(cx)[:n_frames],
+        np.asarray(cy)[:n_frames],
+        np.asarray(vis)[:n_frames],
+    )
