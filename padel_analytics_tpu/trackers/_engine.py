@@ -28,10 +28,12 @@ from flax.core import freeze
 def load_variables(model, example_input, path: Optional[str], convert_fn=None):
     """Initialize model variables, optionally from a checkpoint."""
     rng = jax.random.PRNGKey(0)
+    # jit the init: eager init dispatches every op individually, which is
+    # minutes of round-trips on a tunneled device; compiled it's one call.
     if isinstance(example_input, (tuple, list)):
-        variables = model.init(rng, *example_input)
+        variables = jax.jit(lambda r: model.init(r, *example_input))(rng)
     else:
-        variables = model.init(rng, example_input)
+        variables = jax.jit(lambda r: model.init(r, example_input))(rng)
     if path is None:
         return variables
     path = str(path)

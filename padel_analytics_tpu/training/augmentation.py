@@ -1,0 +1,92 @@
+"""Frame-mixup augmentation for TrackNet training.
+
+Reimplements the reference's training-time temporal mixup
+(/root/reference/trackers/ball_tracker/dataset.py:506-624) as vectorized
+jnp, jittable per batch:
+
+1. for each adjacent frame pair, synthesize an interpolated frame
+   lamb * prev + (1 - lamb) * cur with lamb ~ Beta(alpha, alpha);
+2. the interpolated label follows the reference's casework — invisible
+   current ball keeps the previous label; near-static or
+   previously-invisible balls snap to the current label; otherwise the
+   heatmaps blend with the same lamb;
+3. the densified 2L-1 sequence is subsampled back to L frames (sorted
+   random choice without replacement).
+
+Runs on device as part of the input pipeline (the reference does this
+per-sample in DataLoader workers on the host).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .tracknet import gaussian_heatmap_labels
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "sigma", "alpha"))
+def frame_mixup(
+    rng: jax.Array,
+    frames: jnp.ndarray,  # (L, H, W, C) float frames of one window
+    coords: jnp.ndarray,  # (L, 2) ball coords in heatmap pixels
+    vis: jnp.ndarray,  # (L,) visibility
+    height: int,
+    width: int,
+    sigma: float = 2.5,
+    alpha: float = 0.5,
+):
+    """Returns (frames (L, H, W, C), heatmaps (L, H, W), coords, vis)
+    after mixup + resampling."""
+    l = frames.shape[0]
+    rng_lamb, rng_pick = jax.random.split(rng)
+    lamb = jax.random.beta(rng_lamb, alpha, alpha)
+
+    heat = gaussian_heatmap_labels(coords, height, width, sigma)  # (L, H, W)
+
+    prev_f, cur_f = frames[:-1], frames[1:]
+    prev_h, cur_h = heat[:-1], heat[1:]
+    prev_c, cur_c = coords[:-1], coords[1:]
+    prev_v, cur_v = vis[:-1], vis[1:]
+
+    inter_f = prev_f * lamb + cur_f * (1.0 - lamb)
+
+    dist = jnp.sqrt(jnp.sum((prev_c - cur_c) ** 2, axis=-1))
+    # casework from dataset.py:580-597
+    keep_prev = cur_v == 0
+    snap_cur = (~keep_prev) & ((prev_v == 0) | (dist < 10))
+    blend = ~(keep_prev | snap_cur)
+
+    inter_h = jnp.where(
+        keep_prev[:, None, None],
+        prev_h,
+        jnp.where(
+            snap_cur[:, None, None],
+            cur_h,
+            prev_h * lamb + cur_h * (1.0 - lamb),
+        ),
+    )
+    inter_c = jnp.where(keep_prev[:, None], prev_c, cur_c)
+    inter_v = jnp.where(keep_prev, prev_v, cur_v)
+    del blend
+
+    # Interleave: f0, i01, f1, i12, f2, ... -> (2L-1, ...)
+    def interleave(orig, inter):
+        out_shape = (2 * l - 1,) + orig.shape[1:]
+        out = jnp.zeros(out_shape, orig.dtype)
+        out = out.at[0::2].set(orig)
+        out = out.at[1::2].set(inter)
+        return out
+
+    all_f = interleave(frames, inter_f)
+    all_h = interleave(heat, inter_h)
+    all_c = interleave(coords, inter_c)
+    all_v = interleave(vis, inter_v)
+
+    # Sorted sample of L of the 2L-1 slots (dataset.py:606-612).
+    pick = jnp.sort(
+        jax.random.choice(rng_pick, 2 * l - 1, shape=(l,), replace=False)
+    )
+    return all_f[pick], all_h[pick], all_c[pick], all_v[pick]

@@ -1,0 +1,111 @@
+"""Core subsystem tests: checkpoint roundtrip, stage timer, video IO."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from padel_analytics_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from padel_analytics_tpu.core.profiling import StageTimer
+
+
+def test_checkpoint_msgpack_roundtrip(tmp_path):
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "batch_stats": {"mean": jnp.ones(3)},
+    }
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(tree, path)
+    zero = {
+        "params": {"w": jnp.zeros((2, 3)), "b": jnp.ones(3)},
+        "batch_stats": {"mean": jnp.zeros(3)},
+    }
+    restored = load_checkpoint(zero, path)
+    np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
+    np.testing.assert_array_equal(
+        restored["batch_stats"]["mean"], tree["batch_stats"]["mean"]
+    )
+
+
+def test_engine_save_load_variables(tmp_path):
+    from padel_analytics_tpu.models.tracknet import InpaintNet
+    from padel_analytics_tpu.trackers._engine import load_variables, save_variables
+
+    model = InpaintNet()
+    example = (jnp.zeros((1, 8, 2)), jnp.zeros((1, 8, 1)))
+    v1 = load_variables(model, example, None)
+    path = str(tmp_path / "inpaint.msgpack")
+    save_variables(v1, path)
+    v2 = load_variables(model, example, path)
+    leaf1 = v1["params"]["down_1"]["conv"]["kernel"]
+    leaf2 = v2["params"]["down_1"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(leaf1), np.asarray(leaf2))
+
+
+def test_stage_timer():
+    timer = StageTimer()
+    with timer.stage("a"):
+        pass
+    with timer.stage("a"):
+        pass
+    with timer.stage("b", sync=jnp.ones(3) * 2):
+        pass
+    s = timer.summary()
+    assert s["a"]["count"] == 2
+    assert s["b"]["count"] == 1
+    assert s["a"]["total_s"] >= 0
+
+
+def test_video_roundtrip(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from padel_analytics_tpu.utils.video import (
+        VideoInfo,
+        VideoWriter,
+        frame_generator,
+        read_video,
+        save_video,
+    )
+
+    path = str(tmp_path / "clip.mp4")
+    frames = [
+        np.full((32, 48, 3), i * 10, np.uint8) for i in range(8)
+    ]
+    save_video(frames, path, fps=10)
+    info = VideoInfo.from_video_path(path)
+    assert info.resolution_wh == (48, 32)
+    assert info.total_frames == 8
+    assert info.fps == pytest.approx(10.0)
+
+    decoded = list(frame_generator(path))
+    assert len(decoded) == 8
+    # mp4 is lossy; mean intensity should be close.
+    assert abs(float(decoded[3].mean()) - 30.0) < 6
+
+    got, fps, w, h = read_video(path, max_frames=5)
+    assert len(got) == 5 and (w, h) == (48, 32)
+
+    # windowed decode
+    part = list(frame_generator(path, start=2, end=6))
+    assert len(part) == 4
+
+
+def test_converters_roundtrip():
+    from padel_analytics_tpu.utils import converters
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    b64 = converters.numpy_to_base64(img)
+    back = converters.base64_to_numpy(b64)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_court_segments_geometry():
+    from padel_analytics_tpu.visualizations.padel_court import (
+        padel_court_segments,
+    )
+
+    segs = padel_court_segments()
+    assert len(segs) == 8
+    xs = [s[0] for s in segs] + [s[2] for s in segs]
+    ys = [s[1] for s in segs] + [s[3] for s in segs]
+    assert min(xs) == -5 and max(xs) == 5
+    assert min(ys) == -10 and max(ys) == 10

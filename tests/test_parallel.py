@@ -133,3 +133,20 @@ def test_dp_tp_train_step(rng):
     # Parameters kept their tensor-parallel sharding through the step.
     kernel = state2.params["bottleneck"]["conv_1"]["conv"]["kernel"]
     assert "model" in str(kernel.sharding.spec)
+
+
+def test_frame_mixup_shapes_and_semantics(rng):
+    from padel_analytics_tpu.training.augmentation import frame_mixup
+
+    l, h, w = 8, 16, 24
+    frames = jnp.asarray(rng.uniform(0, 1, size=(l, h, w, 3)).astype(np.float32))
+    coords = jnp.asarray(rng.integers(2, 14, size=(l, 2)).astype(np.float32))
+    vis = jnp.ones((l,), jnp.float32)
+    out_f, out_h, out_c, out_v = frame_mixup(
+        jax.random.PRNGKey(0), frames, coords, vis, h, w
+    )
+    assert out_f.shape == (l, h, w, 3)
+    assert out_h.shape == (l, h, w)
+    assert out_c.shape == (l, 2) and out_v.shape == (l,)
+    # heatmaps bounded in [0, 1]; at least one positive pixel per visible ball
+    assert float(out_h.max()) <= 1.0 and float(out_h.min()) >= 0.0
