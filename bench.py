@@ -124,6 +124,8 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke):
         video_path,
         out_path,
         collect_data=True,
+        fused=True,
+        fused_chunk=16,
     )
 
 
@@ -145,25 +147,30 @@ def main() -> int:
     make_clip(video, w, h, n)
     kp, polygon = court_keypoints(w, h)
 
+    import contextlib
+
     runner = build_runner(video, out, kp, polygon, (w, h), args.smoke)
 
-    # Warmup pass: populates every jit cache (and the ball median).
-    print("bench: warmup pass (compiles)...", file=sys.stderr)
-    t0 = time.perf_counter()
-    runner.run()
-    warmup = time.perf_counter() - t0
-    print(f"bench: warmup {warmup:.1f}s; stages {runner.stage_times}", file=sys.stderr)
+    # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
+    with contextlib.redirect_stdout(sys.stderr):
+        # Warmup pass: populates every jit cache (and the ball median).
+        print("bench: warmup pass (compiles)...")
+        t0 = time.perf_counter()
+        runner.run()
+        warmup = time.perf_counter() - t0
+        print(f"bench: warmup {warmup:.1f}s; stages {runner.stage_times}")
 
-    # Timed pass: restart results, keep compiled steps + median.
-    runner.restart()
-    for tracker in runner.trackers.values():
-        tracker.save_path = None
-    t0 = time.perf_counter()
-    runner.run()
-    if runner.data_analytics is not None:
-        df = runner.data_analytics.into_dataframe(fps_video)
-    elapsed = time.perf_counter() - t0
-    fps = n / elapsed
+        # Timed pass: restart results, keep compiled steps + median.
+        runner.restart()
+        for tracker in runner.trackers.values():
+            tracker.save_path = None
+        t0 = time.perf_counter()
+        runner.run()
+        if runner.data_analytics is not None:
+            df = runner.data_analytics.into_dataframe(fps_video)
+            del df
+        elapsed = time.perf_counter() - t0
+        fps = n / elapsed
 
     print(
         f"bench: timed pass {elapsed:.2f}s for {n} frames; "

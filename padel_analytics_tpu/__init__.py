@@ -21,6 +21,25 @@ config) so a reference user can switch with minimal friction.
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: the pipeline compiles a handful of
+# large programs (pose@1280, TrackNet windows, detection) whose first
+# compile costs minutes; caching makes warm starts near-instant across
+# processes. Opt out with PADEL_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("PADEL_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/padel_tpu_xla")
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 # Re-exports of the reference-parity public API (lazy to keep import light).
 _LAZY = {
     "Player": "padel_analytics_tpu.trackers.objects",

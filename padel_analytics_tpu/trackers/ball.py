@@ -200,22 +200,29 @@ class BallTracker(Tracker):
         return step
 
     def _build_window_step(self, batch: int):
-        """One chunk step: window assembly -> TrackNet -> rolling ensemble
-        -> heatmap decode."""
+        """One chunk step: window assembly (carried frame context) ->
+        TrackNet -> rolling ensemble (carried heatmap buffer) -> decode.
+
+        Chunk k holds frames [kB, kB+B); the windows completed by it are
+        those ENDING in the chunk (w in [kB-(L-1), kB+B-L]), and the frames
+        emitted are f = kB-(L-1)+j for j in [0, B) — buffer row j+r always
+        maps to window kB-2(L-1)+j+r, so padded/garbage windows are
+        neutralized purely by their zero coefficients."""
         seq_len = self.tracknet_seq_len
         model = self.tracknet.model
 
-        def step(variables, frames_u8, median_u8, carry, coef):
-            # frames_u8: (batch + L - 1, H, W, 3) consecutive resized frames
-            # covering windows [s, s + batch); median_u8: (H, W, 3);
-            # carry: (L-1, L, H, W) previous window heatmaps; coef: (batch, L).
-            b = batch
+        def step(variables, frames_u8, median_u8, frame_carry, carry, coef):
+            # frames_u8: (B, H, W, 3) chunk frames; frame_carry:
+            # (L-1, H, W, 3) trailing frames of the previous chunk; carry:
+            # (L-1, L, H, W) previous window heatmaps; coef: (B, L).
+            b = frames_u8.shape[0]
+            frames_ext = jnp.concatenate(
+                [frame_carry, frames_u8.astype(jnp.float32)], axis=0
+            )  # (B + L - 1, H, W, 3)
             med = jnp.broadcast_to(
                 median_u8[None], (b,) + median_u8.shape
             ).astype(jnp.float32)
-            parts = [med] + [
-                frames_u8[j : j + b].astype(jnp.float32) for j in range(seq_len)
-            ]
+            parts = [med] + [frames_ext[j : j + b] for j in range(seq_len)]
             x = jnp.concatenate(parts, axis=-1) / 255.0  # (b, H, W, 27)
             y = model.apply(variables, x)  # (b, H, W, L)
             y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (b, L, H, W)
@@ -228,23 +235,7 @@ class BallTracker(Tracker):
             ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)  # (b, H, W)
 
             cx, cy, vis = decode_heatmaps(ens)
-            return cx, cy, vis, buf[-(seq_len - 1) :]
-
-        return step
-
-    def _build_tail_step(self):
-        seq_len = self.tracknet_seq_len
-        n_tail = seq_len - 1
-
-        def step(carry, coef):
-            pad = jnp.zeros_like(carry)
-            buf = jnp.concatenate([carry, pad], axis=0)
-            j_ids = jnp.arange(seq_len)
-            rows = jnp.arange(n_tail)[:, None] + j_ids[None, :]
-            slots = (seq_len - 1) - j_ids
-            gathered = buf[rows, slots[None, :]]
-            ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)
-            return decode_heatmaps(ens)
+            return cx, cy, vis, frames_ext[-(seq_len - 1) :], buf[-(seq_len - 1) :]
 
         return step
 
@@ -274,55 +265,65 @@ class BallTracker(Tracker):
         median_resized = self._median_resized
 
         # ---- chunked TrackNet + ensemble + decode ----
-        num_windows = video_len - seq_len + 1
+        # The clip is zero-extended by seq_len-1 frames so every output
+        # frame (head, body, AND tail) is emitted by one uniform chunk
+        # loop: one chunk of windows per chunk of frames, each emitted
+        # frame f gathering buffer rows that map 1:1 to window indices
+        # f-(L-1)+j; windows touching padding get coefficient 0 from the
+        # table. (An earlier carry-based tail step misaligned by one frame
+        # whenever the final chunk was padded — caught by the fused-path
+        # parity test.)
         coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
         chunk = max(self.batch_size, 1)
         window_step = self.tracknet.jit_step(
             ("window", chunk), lambda: self._build_window_step(chunk)
         )
-        tail_step = self.tracknet.jit_step(("tail",), self._build_tail_step)
 
         carry = jnp.zeros(
             (seq_len - 1, seq_len, self.HEIGHT, self.WIDTH), jnp.float32
+        )
+        frame_carry = jnp.zeros(
+            (seq_len - 1, self.HEIGHT, self.WIDTH, 3), jnp.float32
         )
         median_dev = jnp.asarray(median_resized)
         xs: list[int] = []
         ys: list[int] = []
         vs: list[int] = []
         frames_np = np.stack(resized)  # (video_len, H, W, 3) uint8
+        zero_frame = np.zeros_like(frames_np[0])
 
-        for s in range(0, num_windows, chunk):
-            b_real = min(chunk, num_windows - s)
-            frames_needed = frames_np[s : s + b_real + seq_len - 1]
-            pad_n = (chunk + seq_len - 1) - frames_needed.shape[0]
-            if pad_n:
-                frames_needed = np.concatenate(
-                    [frames_needed, np.zeros((pad_n,) + frames_needed.shape[1:], np.uint8)]
-                )
+        n_ext = video_len + seq_len - 1
+        for lo in range(0, n_ext, chunk):
+            hi = min(lo + chunk, n_ext)
+            arr = np.stack(
+                [
+                    frames_np[i] if i < video_len else zero_frame
+                    for i in range(lo, hi)
+                ]
+            )
+            arr, _ = _engine.pad_batch(arr, chunk)
+            emit_lo = lo - (seq_len - 1)
             coef_chunk = np.zeros((chunk, seq_len), np.float32)
-            coef_chunk[:b_real] = coef[s : s + b_real]
-            cx, cy, vis, carry = window_step(
+            for j in range(chunk):
+                f = emit_lo + j
+                if 0 <= f < video_len:
+                    coef_chunk[j] = coef[f]
+            cx, cy, vis, frame_carry, carry = window_step(
                 self.tracknet.variables,
-                jnp.asarray(frames_needed),
+                jnp.asarray(arr),
                 median_dev,
+                frame_carry,
                 carry,
                 jnp.asarray(coef_chunk),
             )
             cx, cy, vis = np.asarray(cx), np.asarray(cy), np.asarray(vis)
-            xs.extend(cx[:b_real].tolist())
-            ys.extend(cy[:b_real].tolist())
-            vs.extend(vis[:b_real].tolist())
-
-        # ---- tail frames (last seq_len - 1) ----
-        tail_coef = coef[num_windows:]
-        pad_rows = (seq_len - 1) - tail_coef.shape[0]
-        tail_coef_full = np.zeros((seq_len - 1, seq_len), np.float32)
-        tail_coef_full[: tail_coef.shape[0]] = tail_coef
-        tcx, tcy, tvis = tail_step(carry, jnp.asarray(tail_coef_full))
-        n_tail = video_len - num_windows
-        xs.extend(np.asarray(tcx)[:n_tail].tolist())
-        ys.extend(np.asarray(tcy)[:n_tail].tolist())
-        vs.extend(np.asarray(tvis)[:n_tail].tolist())
+            for j in range(chunk):
+                f = emit_lo + j
+                if 0 <= f < video_len:
+                    xs.append(int(cx[j]))
+                    ys.append(int(cy[j]))
+                    vs.append(int(vis[j]))
+        assert len(xs) == video_len
 
         # Scale heatmap coords to source pixels (predict.py:204-212:
         # int truncation at both steps).

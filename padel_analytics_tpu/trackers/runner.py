@@ -86,7 +86,11 @@ class TrackingRunner:
         end: Optional[int] = None,
         collect_data: bool = False,
         max_cached_frames: int = 4000,
+        fused: bool = False,
+        fused_chunk: int = 16,
     ):
+        self.fused = fused
+        self.fused_chunk = fused_chunk
         self.video_path = video_path
         self.inference_path = inference_path
         self.start = start
@@ -127,6 +131,9 @@ class TrackingRunner:
         """Per-tracker inference (cache-skipped like runner.py:187-191),
         then the draw/collect pass."""
         print(f"runner: Running {self.total_frames} frames")
+        if self.fused and self._try_fused_run():
+            self.draw_and_collect_data()
+            return
         for tracker in self.trackers.values():
             if len(tracker) != 0:
                 print(f"{tracker}: {len(tracker)} predictions stored")
@@ -140,6 +147,44 @@ class TrackingRunner:
             print(f"{tracker}: {t1 - t0:.2f}s inference time.")
             tracker.save_predictions()
         self.draw_and_collect_data()
+
+    def _try_fused_run(self) -> bool:
+        """Run players+pose+ball(+fixed court) in the single-upload fused
+        pipeline. Falls back (returns False) when the tracker set doesn't
+        match or any of them already has cached results."""
+        from .fused import FusedPipeline
+
+        by_name = self.trackers
+        needed = ("players_tracker", "players_keypoints_tracker", "ball_tracker")
+        if not all(name in by_name for name in needed):
+            return False
+        if any(len(by_name[name]) != 0 for name in needed):
+            return False
+        court = by_name.get("keypoints_tracker")
+        if court is not None and court.fixed_keypoints_detection is None:
+            return False
+
+        t0 = timeit.default_timer()
+        pipeline = self._fused_pipeline = getattr(
+            self, "_fused_pipeline", None
+        ) or FusedPipeline(
+            by_name["players_tracker"],
+            by_name["players_keypoints_tracker"],
+            by_name["ball_tracker"],
+            court,
+            chunk=self.fused_chunk,
+        )
+        out = pipeline.run(iter(self.frame_store), total_frames=self.total_frames)
+        by_name["players_tracker"].results.load(out["players"])
+        by_name["players_keypoints_tracker"].results.load(out["players_keypoints"])
+        by_name["ball_tracker"].results.load(out["ball"])
+        if court is not None and len(court) == 0:
+            court.results.load(out["keypoints"])
+        self.stage_times["fused_inference"] = timeit.default_timer() - t0
+        print(f"runner: fused inference {self.stage_times['fused_inference']:.2f}s")
+        for name in needed:
+            by_name[name].save_predictions()
+        return True
 
     def draw_and_collect_data(self) -> None:
         """Render annotated video + minimap projections; collect analytics

@@ -1,0 +1,174 @@
+"""Fused multi-tracker pipeline: parity with the per-tracker paths.
+
+Random-weight models emit scores/heatmaps hovering exactly at the 0.5
+thresholds, where different XLA fusion orders legitimately flip outcomes;
+so parity is asserted with deterministic fake models (decisive outputs),
+which pins down what the fused path actually adds: chunk alignment, the
+carried window context, coefficient handling, coordinate rescaling,
+ByteTrack wiring, and output assembly. A separate smoke test runs the real
+models for shape/length coverage.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from padel_analytics_tpu.config import BallTrackerConfig
+from padel_analytics_tpu.models.yolov8 import num_anchors
+from padel_analytics_tpu.ops.polygon import PolygonZone
+from padel_analytics_tpu.trackers import (
+    BallTracker,
+    Keypoint,
+    Keypoints,
+    KeypointsTracker,
+    PlayerKeypointsTracker,
+    PlayerTracker,
+)
+from padel_analytics_tpu.trackers.fused import FusedPipeline
+from padel_analytics_tpu.utils.video import VideoInfo
+
+W, H, N = 128, 96, 26
+
+
+class FakeDet:
+    """Deterministic detector: a ladder of boxes; scores keyed to image
+    content so frames differ, but far from the 0.5 conf threshold."""
+
+    def apply(self, variables, x):
+        b, h, w, _ = x.shape
+        a = num_anchors(h, w)
+        base = jnp.linspace(5.0, float(w) - 10.0, a)
+        boxes = jnp.stack(
+            [base, jnp.full((a,), h * 0.55), base + 6.0, jnp.full((a,), h * 0.9)],
+            axis=-1,
+        )[None].repeat(b, 0)
+        m = jnp.mean(x, axis=(1, 2, 3))  # ~0.1-0.3
+        ladder = jnp.where(jnp.arange(a) < 3, 0.65, 0.1)
+        scores = jnp.clip(m[:, None] * 0.3 + ladder[None, :], 0.0, 1.0)
+        return {"boxes": boxes, "scores": scores[..., None]}
+
+
+class FakePose(FakeDet):
+    def apply(self, variables, x):
+        out = super().apply(variables, x)
+        b, h, w, _ = x.shape
+        a = num_anchors(h, w)
+        kx = jnp.linspace(2.0, w - 2.0, 13)
+        ky = jnp.linspace(2.0, h - 2.0, 13)
+        kpts = jnp.stack([kx, ky, jnp.full((13,), 0.9)], axis=-1)
+        out["kpts"] = jnp.broadcast_to(kpts[None, None], (b, a, 13, 3)) + (
+            jnp.arange(a, dtype=jnp.float32)[None, :, None, None] * 0.01
+        )
+        return out
+
+
+class FakeTrackNet:
+    """Heatmap = decisive indicator of bright pixels per window frame."""
+
+    def apply(self, variables, x):
+        # x: (B, H, W, 27) = median(3) + 8 frames x 3, values in [0, 1].
+        maps = []
+        for c in range(8):
+            frame = x[..., 3 + 3 * c : 6 + 3 * c]
+            maps.append((jnp.mean(frame, axis=-1) > 0.6).astype(jnp.float32))
+        return jnp.stack(maps, axis=-1)  # (B, H, W, 8)
+
+
+def _make_frames(rng):
+    frames = []
+    for i in range(N):
+        f = np.full((H, W, 3), 30, np.uint8)
+        x0 = 10 + (4 * i) % 100
+        f[40:50, x0 : x0 + 6] = 220
+        f += rng.integers(0, 10, f.shape, dtype=np.uint8)
+        frames.append(f)
+    return frames
+
+
+def _make_trackers(fake=True):
+    kps = [
+        (20, 80), (108, 80), (22, 68), (64, 68), (106, 68), (25, 50),
+        (103, 50), (28, 35), (64, 35), (100, 35), (30, 22), (98, 22),
+    ]
+    ck = Keypoints([Keypoint(id=i, xy=(float(x), float(y))) for i, (x, y) in enumerate(kps)])
+    poly = np.array([kps[0], kps[1], kps[-1], kps[-2]])
+    players = PlayerTracker(
+        None, PolygonZone(poly, (W, H)), batch_size=4, model_variant="n",
+        compute_dtype=jnp.float32,
+    )
+    players.IMGSZ = 64
+    pose = PlayerKeypointsTracker(
+        None, train_image_size=64, batch_size=4, model_variant="n",
+        compute_dtype=jnp.float32, load_path=None, save_path=None,
+    )
+    ball = BallTracker(
+        None, None, compute_dtype=jnp.float32,
+        config=BallTrackerConfig(height=72, width=128, batch_size=4,
+                                 median_max_sample_num=6),
+    )
+    court = KeypointsTracker(fixed_keypoints_detection=ck)
+    if fake:
+        players.engine.model = FakeDet()
+        pose.engine.model = FakePose()
+        ball.tracknet.model = FakeTrackNet()
+    info = VideoInfo(width=W, height=H, fps=10.0, total_frames=N)
+    for t in (players, pose, ball, court):
+        t.video_info_post_init(info)
+    return players, pose, ball, court
+
+
+def test_fused_matches_separate_trackers(rng):
+    frames = _make_frames(rng)
+    players_s, pose_s, ball_s, _ = _make_trackers()
+    sep_players = []
+    for lo in range(0, N, 4):
+        sep_players.extend(players_s.predict_sample(np.stack(frames[lo : lo + 4])))
+    sep_pose = []
+    for lo in range(0, N, 4):
+        sep_pose.extend(pose_s.predict_sample(np.stack(frames[lo : lo + 4])))
+    sep_ball = ball_s.predict_frames(iter(frames), total_frames=N)
+
+    players_f, pose_f, ball_f, court_f = _make_trackers()
+    fused = FusedPipeline(players_f, pose_f, ball_f, court_f, chunk=5)
+    out = fused.run(iter(frames), total_frames=N)
+
+    assert len(out["players"]) == N
+    assert len(out["players_keypoints"]) == N
+    assert len(out["ball"]) == N
+    assert len(out["keypoints"]) == N
+
+    for a, b in zip(sep_ball, out["ball"]):
+        assert a.serialize() == b.serialize()
+
+    for a, b in zip(sep_players, out["players"]):
+        sa, sb = a.serialize(), b.serialize()
+        assert len(sa) == len(sb)
+        for pa, pb in zip(sa, sb):
+            assert pa["id"] == pb["id"]
+            np.testing.assert_allclose(pa["xyxy"], pb["xyxy"], atol=1e-3)
+
+    for a, b in zip(sep_pose, out["players_keypoints"]):
+        sa, sb = a.serialize(), b.serialize()
+        assert len(sa) == len(sb)
+        for pa, pb in zip(sa, sb):
+            ka = np.array([k["xy"] for k in pa["player_keypoints"]])
+            kb = np.array([k["xy"] for k in pb["player_keypoints"]])
+            np.testing.assert_allclose(ka, kb, atol=1e-3)
+
+
+def test_fused_real_models_smoke(rng):
+    frames = _make_frames(rng)
+    players, pose, ball, court = _make_trackers(fake=False)
+    fused = FusedPipeline(players, pose, ball, court, chunk=8)
+    out = fused.run(iter(frames), total_frames=N)
+    assert {len(v) for v in out.values()} == {N}
+    assert all(b.visibility in (0, 1) for b in out["ball"])
+
+
+def test_fused_rejects_model_court_mode():
+    players, pose, ball, _ = _make_trackers()
+    court = KeypointsTracker(model_path=None, model_type="yolo",
+                             compute_dtype=jnp.float32, model_variant="n")
+    with pytest.raises(ValueError):
+        FusedPipeline(players, pose, ball, court)
