@@ -93,18 +93,109 @@ def _decode_single(heatmap: jnp.ndarray, threshold: float, num_iters: int):
     return cx.astype(jnp.int32), cy.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "num_iters"))
+def _shift_min(x: jnp.ndarray, big: int) -> jnp.ndarray:
+    """Separable 3x3 neighborhood MIN with `big` outside the edges."""
+    h, w = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    up = jnp.where(rows == h - 1, big, jnp.roll(x, -1, axis=0))
+    down = jnp.where(rows == 0, big, jnp.roll(x, 1, axis=0))
+    x = jnp.minimum(jnp.minimum(x, up), down)
+    left = jnp.where(cols == w - 1, big, jnp.roll(x, -1, axis=1))
+    right = jnp.where(cols == 0, big, jnp.roll(x, 1, axis=1))
+    return jnp.minimum(jnp.minimum(x, left), right)
+
+
+def _shift_max(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3x3 neighborhood MAX with -1 outside the edges."""
+    h, w = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    up = jnp.where(rows == h - 1, -1, jnp.roll(x, -1, axis=0))
+    down = jnp.where(rows == 0, -1, jnp.roll(x, 1, axis=0))
+    x = jnp.maximum(jnp.maximum(x, up), down)
+    left = jnp.where(cols == w - 1, -1, jnp.roll(x, -1, axis=1))
+    right = jnp.where(cols == 0, -1, jnp.roll(x, 1, axis=1))
+    return jnp.maximum(jnp.maximum(x, left), right)
+
+
+def _decode_single_rollprop(heatmap: jnp.ndarray, threshold: float, num_iters: int):
+    """Scatter-free decode: propagate each component's bbox extrema
+    (min/max row/col) and its raster-first pixel directly, then reduce.
+    Same outputs as `_decode_single` (cv2 contour semantics incl. the
+    largest-area + reverse-scan-order tie-break), but with no segment
+    scatters — only rolls/min/max, which map cleanly onto the VPU and the
+    Pallas VMEM-resident variant (pallas_cc.py)."""
+    h, w = heatmap.shape
+    big = jnp.int32(1 << 24)
+    mask = heatmap > threshold
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    idx = rows * w + cols
+
+    min_r = jnp.where(mask, rows, big)
+    min_c = jnp.where(mask, cols, big)
+    max_r = jnp.where(mask, rows, -1)
+    max_c = jnp.where(mask, cols, -1)
+    first = jnp.where(mask, idx, big)
+
+    def step(state, _):
+        mr, mc, xr, xc, fp = state
+        mr = jnp.where(mask, _shift_min(mr, big), big)
+        mc = jnp.where(mask, _shift_min(mc, big), big)
+        xr = jnp.where(mask, _shift_max(xr), -1)
+        xc = jnp.where(mask, _shift_max(xc), -1)
+        fp = jnp.where(mask, _shift_min(fp, big), big)
+        return (mr, mc, xr, xc, fp), None
+
+    (min_r, min_c, max_r, max_c, first), _ = jax.lax.scan(
+        step, (min_r, min_c, max_r, max_c, first), None, length=num_iters
+    )
+
+    bw = jnp.where(mask, max_c - min_c + 1, 0)
+    bh = jnp.where(mask, max_r - min_r + 1, 0)
+    area = bw * bh
+    max_area = jnp.max(area)
+    # cv2 tie-break: among largest-area blobs, the LAST-encountered in
+    # raster order wins (largest first-pixel index).
+    tie = jnp.where(mask & (area == max_area), first, -1)
+    best_first = jnp.max(tie)
+    winner = mask & (area == max_area) & (first == best_first)
+    any_blob = jnp.any(mask)
+    w_min_c = jnp.max(jnp.where(winner, min_c, -1))
+    w_min_r = jnp.max(jnp.where(winner, min_r, -1))
+    w_bw = jnp.max(jnp.where(winner, bw, -1))
+    w_bh = jnp.max(jnp.where(winner, bh, -1))
+    cx = jnp.where(any_blob, (w_min_c * 2 + w_bw) // 2, 0)
+    cy = jnp.where(any_blob, (w_min_r * 2 + w_bh) // 2, 0)
+    return cx.astype(jnp.int32), cy.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "num_iters", "method")
+)
 def decode_heatmaps(
     heatmaps: jnp.ndarray,  # (B, H, W) float in [0, 1]
     threshold: float = 0.5,
-    num_iters: int = 64,
+    num_iters: int = 32,
+    method: str = "rollprop",
 ):
     """Decode a batch of heatmaps to (cx, cy, visibility) int32 arrays in
     heatmap pixel coordinates. visibility = 0 iff cx == cy == 0
-    (predict.py:216)."""
-    fn = functools.partial(
-        _decode_single, threshold=threshold, num_iters=num_iters
-    )
+    (predict.py:216).
+
+    method: 'rollprop' (scatter-free, default) or 'segments' (original
+    label + segment-reduction formulation). num_iters bounds the component
+    diameter resolved exactly; thresholded TrackNet blobs (sigma 2.5) are
+    a few pixels wide, so 32 is generous."""
+    if method == "rollprop":
+        fn = functools.partial(
+            _decode_single_rollprop, threshold=threshold, num_iters=num_iters
+        )
+    else:
+        fn = functools.partial(
+            _decode_single, threshold=threshold, num_iters=num_iters
+        )
     cx, cy = jax.vmap(fn)(heatmaps)
     vis = jnp.where((cx == 0) & (cy == 0), 0, 1).astype(jnp.int32)
     return cx, cy, vis

@@ -286,10 +286,12 @@ class BallTracker(Tracker):
             (seq_len - 1, self.HEIGHT, self.WIDTH, 3), jnp.float32
         )
         median_dev = jnp.asarray(median_resized)
+        from ..io.native import pack_frames
+
         xs: list[int] = []
         ys: list[int] = []
         vs: list[int] = []
-        frames_np = np.stack(resized)  # (video_len, H, W, 3) uint8
+        frames_np = pack_frames(resized)  # (video_len, H, W, 3) uint8
         zero_frame = np.zeros_like(frames_np[0])
 
         n_ext = video_len + seq_len - 1
@@ -360,11 +362,13 @@ class BallTracker(Tracker):
             nonlocal resize_step
             if not frames:
                 return
-            arr = np.stack(frames)
-            if swapped and self.channel_quirk:
-                # Reference double-conversion quirk: median-buffer frames
-                # reach the net channel-swapped (iterable.py:63-64,160).
-                arr = arr[..., ::-1]
+            from ..io.native import pack_frames
+
+            # Reference double-conversion quirk: median-buffer frames
+            # reach the net channel-swapped (iterable.py:63-64,160);
+            # the native pack fuses the swap into the copy.
+            do_swap = swapped and self.channel_quirk
+            arr = pack_frames(frames, swap=[do_swap] * len(frames) if do_swap else None)
             src_hw = arr.shape[1:3]
             if resize_step is None:
                 resize_step = self.tracknet.jit_step(

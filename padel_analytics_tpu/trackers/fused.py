@@ -314,21 +314,25 @@ class FusedPipeline:
                     ball_y.append(int(cy[j]))
                     ball_v.append(int(vis[j]))
 
+        from ..io.native import pack_frames
+
         for k in range(num_chunks):
             lo, hi = k * b, min((k + 1) * b, n_ext)
             chunk_frames = [
                 frames[i] if i < n else zero_frame for i in range(lo, hi)
             ]
-            arr = np.stack(chunk_frames)
-            if quirk_flags[lo:hi].any():
-                arr = arr.copy()
-                sw = quirk_flags[lo:hi]
-                arr[sw] = arr[sw][..., ::-1]
-                # NOTE: with channel_quirk=True the det/pose branches see
-                # the swapped channels for the first median_range frames
-                # (the reference's quirk only affects its ball path); the
-                # divergence is confined to those head frames.
-            arr, n_real = _engine.pad_batch(arr, b)
+            # Native single-pass pack (+ fused channel reversal for the
+            # reference's median quirk). NOTE: with channel_quirk=True the
+            # det/pose branches see the swapped channels for the first
+            # median_range frames (the reference's quirk only affects its
+            # ball path); the divergence is confined to those head frames.
+            chunk_frames += [zero_frame] * (b - len(chunk_frames))
+            arr = pack_frames(
+                chunk_frames,
+                swap=quirk_flags[lo:hi].tolist() + [False] * (b - (hi - lo))
+                if quirk_flags[lo:hi].any()
+                else None,
+            )
             n_real_frames = max(0, min(hi, n) - lo)
 
             # Emitted ball frames this chunk: f = lo - (L-1) + j.

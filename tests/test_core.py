@@ -109,3 +109,19 @@ def test_court_segments_geometry():
     ys = [s[1] for s in segs] + [s[3] for s in segs]
     assert min(xs) == -5 and max(xs) == 5
     assert min(ys) == -10 and max(ys) == 10
+
+
+def test_native_framepack():
+    from padel_analytics_tpu.io.native import native_available, pack_frames
+
+    rng_ = np.random.default_rng(3)
+    frames = [rng_.integers(0, 255, (24, 32, 3), dtype=np.uint8) for _ in range(5)]
+    out = pack_frames(frames)
+    np.testing.assert_array_equal(out, np.stack(frames))
+    out2 = pack_frames(frames, swap=[True, False, True, False, False])
+    np.testing.assert_array_equal(out2[0], frames[0][..., ::-1])
+    np.testing.assert_array_equal(out2[1], frames[1])
+    np.testing.assert_array_equal(out2[2], frames[2][..., ::-1])
+    # native_available may be False in toolchain-less envs; the numpy
+    # fallback above must be correct either way.
+    assert native_available() in (True, False)

@@ -281,3 +281,38 @@ def test_median_background(rng, n):
     ours = median_background(frames, row_chunk=5)
     ref = np.median(frames, axis=0).astype("uint8")
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_rollprop_decode_matches_segments(rng):
+    """Scatter-free rollprop decode == original segment decode on fuzz."""
+    from padel_analytics_tpu.ops.heatmap import decode_heatmaps
+
+    hms = []
+    for _ in range(8):
+        hm = np.zeros((72, 128), np.float32)
+        for _ in range(rng.integers(0, 4)):
+            hm += _gaussian_blob(
+                72, 128, rng.integers(5, 67), rng.integers(5, 123),
+                sigma=rng.uniform(1.0, 4.0),
+            )
+        hms.append(hm)
+    x = jnp.asarray(np.stack(hms))
+    a = decode_heatmaps(x, method="rollprop")
+    b = decode_heatmaps(x, method="segments", num_iters=64)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    for i in range(8):
+        ref = _cv2_reference_decode(hms[i])
+        assert (int(a[0][i]), int(a[1][i]), int(a[2][i])) == ref
+
+
+def test_pallas_decode_interpret_matches(rng):
+    from padel_analytics_tpu.ops.heatmap import decode_heatmaps
+    from padel_analytics_tpu.ops.pallas_cc import decode_heatmaps_pallas
+
+    hm = _gaussian_blob(16, 128, 8, 70, sigma=2.0).astype(np.float32)
+    x = jnp.asarray(hm[None])
+    a = decode_heatmaps(x, method="rollprop", num_iters=16)
+    b = decode_heatmaps_pallas(x, num_iters=16, interpret=True)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
