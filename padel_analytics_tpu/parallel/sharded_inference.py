@@ -106,12 +106,11 @@ def sharded_window_inference(
         left = jnp.where(idx == 0, jnp.zeros_like(left), left)
         buf = jnp.concatenate([left, y], axis=0)  # (shard + L - 1, L, H, W)
 
-        # ---- overlap ensemble for the local frames ----
-        j_ids = jnp.arange(l)
-        rows = jnp.arange(shard)[:, None] + j_ids[None, :]
-        slots = (l - 1) - j_ids
-        gathered = buf[rows, slots[None, :]]
-        ens = jnp.sum(gathered * coef_local[:, :, None, None], axis=1)
+        # ---- overlap ensemble for the local frames (static slices) ----
+        ens = sum(
+            coef_local[:, j, None, None] * buf[j : j + shard, l - 1 - j]
+            for j in range(l)
+        )
 
         cx, cy, vis = decode_heatmaps(ens)
         return cx, cy, vis

@@ -228,11 +228,12 @@ class BallTracker(Tracker):
             y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (b, L, H, W)
 
             buf = jnp.concatenate([carry, y], axis=0)  # (b + L - 1, L, H, W)
-            j_ids = jnp.arange(seq_len)
-            rows = jnp.arange(b)[:, None] + j_ids[None, :]
-            slots = (seq_len - 1) - j_ids
-            gathered = buf[rows, slots[None, :]]  # (b, L, H, W)
-            ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)  # (b, H, W)
+            # out[f] = sum_j coef[f, j] * buf[f + j, L-1-j]: static slices
+            # per j (cheap, fusion-friendly) instead of a fancy gather.
+            ens = sum(
+                coef[:, j, None, None] * buf[j : j + b, seq_len - 1 - j]
+                for j in range(seq_len)
+            )  # (b, H, W)
 
             cx, cy, vis = decode_heatmaps(ens)
             return cx, cy, vis, frames_ext[-(seq_len - 1) :], buf[-(seq_len - 1) :]

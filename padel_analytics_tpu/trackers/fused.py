@@ -126,7 +126,16 @@ class FusedPipeline:
                     axis=-1,
                 )
                 det_valid = det_valid & points_in_polygon(anchors, polygon)
-            return boxes, det_scores, det_valid
+            # Pack into ONE output buffer: each drained array is a device
+            # round-trip on tunneled links.
+            return jnp.concatenate(
+                [
+                    boxes,
+                    det_scores[..., None],
+                    det_valid[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )  # (B, max_det, 6)
 
         return det_step
 
@@ -158,7 +167,15 @@ class FusedPipeline:
             )
             kpts = kpts.at[..., 0].mul(pose_rx)
             kpts = kpts.at[..., 1].mul(pose_ry)
-            return kpts, pose_scores, pose_valid
+            b_, d_, k_, _ = kpts.shape
+            # Pack into ONE output buffer (see det_step).
+            return jnp.concatenate(
+                [
+                    kpts.reshape(b_, d_, k_ * 3),
+                    pose_valid[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )  # (B, max_det, 3K + 1)
 
         return pose_step
 
@@ -170,7 +187,13 @@ class FusedPipeline:
         )
         tracknet = self.ball.tracknet.model
 
-        def ball_step(tn_vars, frames_u8, median_u8, frame_carry, heat_carry, coef):
+        def ball_step(
+            tn_vars, frames_u8, median_u8, frame_carry, heat_carry, coef_table, lo
+        ):
+            # coef_table lives on device for the whole run; slice this
+            # chunk's emitted-frame rows with a scalar start index (rows
+            # beyond the table were padded with zeros by the caller).
+            coef = jax.lax.dynamic_slice_in_dim(coef_table, lo, b, axis=0)
             resized = ball_plan.apply(frames_u8)
             resized = jnp.clip(jnp.floor(resized + 0.5), 0, 255)  # PIL uint8
             frames_ext = jnp.concatenate([frame_carry, resized], axis=0)
@@ -184,13 +207,14 @@ class FusedPipeline:
             y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
 
             buf = jnp.concatenate([heat_carry, y], axis=0)
-            j_ids = jnp.arange(seq_len)
-            rows = jnp.arange(b)[:, None] + j_ids[None, :]
-            slots = (seq_len - 1) - j_ids
-            gathered = buf[rows, slots[None, :]]
-            ens = jnp.sum(gathered * coef[:, :, None, None], axis=1)
+            # out[f] = sum_j coef[f, j] * buf[f + j, L-1-j] via static slices.
+            ens = sum(
+                coef[:, j, None, None] * buf[j : j + b, seq_len - 1 - j]
+                for j in range(seq_len)
+            )
             cx, cy, vis = decode_heatmaps(ens)
-            return cx, cy, vis, frames_ext[-(seq_len - 1) :], buf[-(seq_len - 1) :]
+            packed = jnp.stack([cx, cy, vis], axis=-1)  # (B, 3) int32
+            return packed, frames_ext[-(seq_len - 1) :], buf[-(seq_len - 1) :]
 
         return ball_step
 
@@ -273,6 +297,13 @@ class FusedPipeline:
             (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
         )
         median_dev = jnp.asarray(median_resized)
+        # Device-resident coefficient table, padded so chunk k's rows are
+        # table[lo : lo + b] (row lo-7+j's coefficients live at index lo+j;
+        # out-of-range frames are zero rows).
+        n_ext_pad = (-(-(n + seq_len - 1) // b)) * b + b
+        table = np.zeros((n_ext_pad, seq_len), np.float32)
+        table[seq_len - 1 : seq_len - 1 + n] = coef
+        coef_table_dev = jnp.asarray(table)
 
         det_results, pose_results = [], []
         ball_x: list[int] = []
@@ -287,32 +318,28 @@ class FusedPipeline:
         n_ext = n + seq_len - 1
         num_chunks = -(-n_ext // b)
 
-        pending = None  # (emit_lo, n_real_frames, device outputs) of chunk k-1
+        pending = None  # (emit_lo, n_real_frames, packed device outputs)
 
         def drain(item):
-            emit_lo, n_real_frames, boxes, det_scores, det_valid, kpts, \
-                pose_valid, cx, cy, vis = item
+            emit_lo, n_real_frames, det_packed, pose_packed, ball_packed = item
             if n_real_frames:
-                det_results.append(
-                    (
-                        np.asarray(boxes)[:n_real_frames],
-                        np.asarray(det_scores)[:n_real_frames],
-                        np.asarray(det_valid)[:n_real_frames],
-                    )
-                )
+                dp = np.asarray(det_packed)[:n_real_frames]
+                det_results.append((dp[..., :4], dp[..., 4], dp[..., 5] > 0.5))
+                pp = np.asarray(pose_packed)[:n_real_frames]
+                nk = (pp.shape[-1] - 1) // 3
                 pose_results.append(
                     (
-                        np.asarray(kpts)[:n_real_frames],
-                        np.asarray(pose_valid)[:n_real_frames],
+                        pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
+                        pp[..., 3 * nk] > 0.5,
                     )
                 )
-            cx, cy, vis = np.asarray(cx), np.asarray(cy), np.asarray(vis)
+            bp = np.asarray(ball_packed)
             for j in range(b):
                 f = emit_lo + j
                 if 0 <= f < n:
-                    ball_x.append(int(cx[j]))
-                    ball_y.append(int(cy[j]))
-                    ball_v.append(int(vis[j]))
+                    ball_x.append(int(bp[j, 0]))
+                    ball_y.append(int(bp[j, 1]))
+                    ball_v.append(int(bp[j, 2]))
 
         from ..io.native import pack_frames
 
@@ -334,39 +361,27 @@ class FusedPipeline:
                 else None,
             )
             n_real_frames = max(0, min(hi, n) - lo)
-
-            # Emitted ball frames this chunk: f = lo - (L-1) + j.
             emit_lo = lo - (seq_len - 1)
-            coef_chunk = np.zeros((b, seq_len), np.float32)
-            for j in range(b):
-                f = emit_lo + j
-                if 0 <= f < n:
-                    coef_chunk[j] = coef[f]
 
-            # ONE upload, three async sub-steps sharing it.
+            # ONE upload, three async sub-steps sharing it; each returns a
+            # single packed buffer (fewest device round-trips per chunk).
             frames_dev = jnp.asarray(arr)
-            boxes, det_scores, det_valid = det_step(
-                self.players.engine.variables, frames_dev
-            )
-            kpts, _, pose_valid = pose_step(
-                self.pose.engine.variables, frames_dev
-            )
-            cx, cy, vis, frame_carry, heat_carry = ball_step(
+            det_packed = det_step(self.players.engine.variables, frames_dev)
+            pose_packed = pose_step(self.pose.engine.variables, frames_dev)
+            ball_packed, frame_carry, heat_carry = ball_step(
                 ball.tracknet.variables,
                 frames_dev,
                 median_dev,
                 frame_carry,
                 heat_carry,
-                jnp.asarray(coef_chunk),
+                coef_table_dev,
+                lo,
             )
             # Drain chunk k-1 AFTER dispatching chunk k: its host syncs
             # overlap with this chunk's device work.
             if pending is not None:
                 drain(pending)
-            pending = (
-                emit_lo, n_real_frames, boxes, det_scores, det_valid,
-                kpts, pose_valid, cx, cy, vis,
-            )
+            pending = (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed)
         if pending is not None:
             drain(pending)
 

@@ -125,3 +125,27 @@ def test_native_framepack():
     # native_available may be False in toolchain-less envs; the numpy
     # fallback above must be correct either way.
     assert native_available() in (True, False)
+
+
+def test_compare_predictions_tool(tmp_path, capsys):
+    import json
+
+    from padel_analytics_tpu.apps import compare_predictions as cp
+
+    balls_a = [{"frame": i, "xy": [10.0 * i, 5.0], "visibility": 1, "projection": None} for i in range(5)]
+    balls_b = [{"frame": i, "xy": [10.0 * i + 0.5, 5.0], "visibility": 1, "projection": None} for i in range(5)]
+    fa, fb = tmp_path / "a.json", tmp_path / "b.json"
+    fa.write_text(json.dumps(balls_a))
+    fb.write_text(json.dumps(balls_b))
+    assert cp.main(["ball", str(fa), str(fb)]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["within_1px"] == 1.0
+    assert abs(report["mean_px"] - 0.5) < 1e-9
+
+    players_a = [[{"id": 1, "xyxy": [0, 0, 10, 10], "projection": None, "class_id": 0, "confidence": 0.9}]]
+    players_b = [[{"id": 1, "xyxy": [0.5, 0, 10.5, 10], "projection": None, "class_id": 0, "confidence": 0.9}]]
+    fa.write_text(json.dumps(players_a))
+    fb.write_text(json.dumps(players_b))
+    assert cp.main(["players", str(fa), str(fb)]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["id_agreement"] == 1.0 and report["mean_iou"] > 0.8

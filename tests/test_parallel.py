@@ -150,3 +150,24 @@ def test_frame_mixup_shapes_and_semantics(rng):
     assert out_c.shape == (l, 2) and out_v.shape == (l,)
     # heatmaps bounded in [0, 1]; at least one positive pixel per visible ball
     assert float(out_h.max()) <= 1.0 and float(out_h.min()) >= 0.0
+
+
+def test_inpaintnet_train_step(rng):
+    from padel_analytics_tpu.models.tracknet import InpaintNet
+    from padel_analytics_tpu.training.inpaintnet import make_inpaintnet_train_step
+    from padel_analytics_tpu.training.tracknet import TrackNetTrainState
+
+    model = InpaintNet()
+    coords = jnp.asarray(rng.uniform(0, 1, size=(4, 16, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 2, size=(4, 16, 1)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, size=(4, 16, 2)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), coords, mask)
+    optimizer = optax.adam(1e-3)
+    state = TrackNetTrainState(
+        params=variables["params"], batch_stats={},
+        opt_state=optimizer.init(variables["params"]),
+    )
+    step = jax.jit(make_inpaintnet_train_step(model, optimizer))
+    state1, l1 = step(state, coords, mask, target)
+    state2, l2 = step(state1, coords, mask, target)
+    assert np.isfinite(float(l1)) and float(l2) < float(l1)
