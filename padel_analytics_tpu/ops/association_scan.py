@@ -1,0 +1,218 @@
+"""On-device multi-object association as a lax.scan over frames.
+
+The host ByteTrack (ops/association.py) is the parity path — sequential
+Hungarian matching, supervision-compatible IDs. This module is the
+TPU-native alternative SURVEY.md §7 calls for: the whole clip's
+(padded, masked) detections scan through a fixed-size track table on
+device, so association costs one compiled scan instead of a host loop —
+useful when the host round-trip dominates or when tracking must stay
+inside a larger jitted program (e.g. the fused pipeline).
+
+Differences vs host ByteTrack (documented, not hidden):
+- greedy best-first matching (iterative argmax over the IoU matrix)
+  instead of Hungarian — identical except on exact-cost ties;
+- constant-velocity box prediction without the Kalman covariance
+  machinery (predict = x + v, update = observation + velocity EMA);
+- fixed MAX_TRACKS slots; IDs still allocated in first-seen order.
+
+Same two-stage thresholds: high dets (>= track_thresh) match first,
+low dets (> 0.1) keep lost-ish tracks alive, new tracks require
+det_thresh = track_thresh + 0.1 and confirm on the second hit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .nms import box_iou
+
+
+class TrackState(NamedTuple):
+    boxes: jnp.ndarray  # (T, 4) xyxy
+    velocity: jnp.ndarray  # (T, 4) per-frame box deltas
+    ids: jnp.ndarray  # (T,) int32, 0 = free slot
+    age_since_update: jnp.ndarray  # (T,) int32
+    confirmed: jnp.ndarray  # (T,) bool
+    next_id: jnp.ndarray  # () int32
+
+
+def init_state(max_tracks: int = 16) -> TrackState:
+    return TrackState(
+        boxes=jnp.zeros((max_tracks, 4), jnp.float32),
+        velocity=jnp.zeros((max_tracks, 4), jnp.float32),
+        ids=jnp.zeros((max_tracks,), jnp.int32),
+        age_since_update=jnp.zeros((max_tracks,), jnp.int32),
+        confirmed=jnp.zeros((max_tracks,), bool),
+        next_id=jnp.asarray(1, jnp.int32),
+    )
+
+
+def _greedy_match(iou: jnp.ndarray, row_ok, col_ok, min_iou: float, n_iter: int):
+    """Iterative best-first matching. Returns col index per row (-1 = none)."""
+    t, d = iou.shape
+    gated = jnp.where(
+        row_ok[:, None] & col_ok[None, :] & (iou >= min_iou), iou, -1.0
+    )
+    assign = jnp.full((t,), -1, jnp.int32)
+
+    def body(_, carry):
+        gated, assign = carry
+        flat = jnp.argmax(gated)
+        r, c = flat // d, flat % d
+        best = gated[r, c]
+        take = best > 0
+        assign = jnp.where(take, assign.at[r].set(c.astype(jnp.int32)), assign)
+        gated = jnp.where(take, gated.at[r, :].set(-1.0).at[:, c].set(-1.0), gated)
+        return gated, assign
+
+    _, assign = jax.lax.fori_loop(0, n_iter, body, (gated, assign))
+    return assign
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "track_thresh", "match_thresh", "max_lost", "max_tracks",
+    ),
+)
+def associate_clip(
+    boxes: jnp.ndarray,  # (F, D, 4) per-frame padded detections
+    scores: jnp.ndarray,  # (F, D)
+    valid: jnp.ndarray,  # (F, D) bool
+    track_thresh: float = 0.25,
+    match_thresh: float = 0.8,
+    max_lost: int = 30,
+    max_tracks: int = 16,
+):
+    """Assign track IDs to every detection of a clip in one device scan.
+
+    Returns (ids (F, D) int32 with 0 = unassigned/dropped, final state).
+    """
+    f, d, _ = boxes.shape
+    det_thresh = track_thresh + 0.1
+
+    def step(state: TrackState, frame):
+        fboxes, fscores, fvalid = frame
+        high = fvalid & (fscores >= track_thresh)
+        low = fvalid & (fscores > 0.1) & ~high
+
+        pred = state.boxes + state.velocity
+        active = state.ids > 0
+        iou = box_iou(pred, fboxes)
+
+        # stage 1: active tracks vs high detections
+        m1 = _greedy_match(iou, active, high, 1.0 - match_thresh, max_tracks)
+        matched1 = m1 >= 0
+        # stage 2: still-unmatched tracks vs low dets
+        rem = active & ~matched1
+        col_used = jnp.zeros((d,), bool).at[jnp.clip(m1, 0)].set(matched1)
+        m2 = _greedy_match(iou, rem, low & ~col_used, 0.5, max_tracks)
+        matched2 = m2 >= 0
+        match_col = jnp.where(matched1, m1, jnp.where(matched2, m2, -1))
+        matched = match_col >= 0
+
+        obs = fboxes[jnp.clip(match_col, 0)]
+        new_vel = jnp.where(
+            matched[:, None],
+            0.8 * state.velocity + 0.2 * (obs - state.boxes),
+            state.velocity,
+        )
+        new_boxes = jnp.where(matched[:, None], obs, pred)
+        new_age = jnp.where(matched, 0, state.age_since_update + 1)
+        new_confirmed = state.confirmed | matched
+
+        # expire stale tracks
+        alive = active & (new_age <= max_lost)
+        ids = jnp.where(alive, state.ids, 0)
+
+        # spawn tracks from unmatched high dets above det_thresh
+        col_taken = jnp.zeros((d,), bool).at[jnp.clip(match_col, 0)].set(matched)
+        spawnable = high & ~col_taken & (fscores >= det_thresh)
+
+        def spawn(carry, slot):
+            ids, boxes_, vel, age, conf, next_id, spawn_mask = carry
+            free = ids[slot] == 0
+            # next unspawned detection index
+            det_i = jnp.argmax(spawn_mask)
+            has = jnp.any(spawn_mask)
+            do = free & has
+            ids = jnp.where(do, ids.at[slot].set(next_id), ids)
+            boxes_ = jnp.where(do, boxes_.at[slot].set(fboxes[det_i]), boxes_)
+            vel = jnp.where(do, vel.at[slot].set(0.0), vel)
+            age = jnp.where(do, age.at[slot].set(0), age)
+            conf = jnp.where(do, conf.at[slot].set(False), conf)
+            spawn_mask = jnp.where(do, spawn_mask.at[det_i].set(False), spawn_mask)
+            next_id = jnp.where(do, next_id + 1, next_id)
+            return (ids, boxes_, vel, age, conf, next_id, spawn_mask), do & has
+
+        (ids, nb, nv, na, nc, next_id, _), _ = jax.lax.scan(
+            spawn,
+            (ids, new_boxes, new_vel, new_age, new_confirmed, state.next_id, spawnable),
+            jnp.arange(max_tracks),
+        )
+
+        # emit: detection -> id of its matched CONFIRMED track
+        det_ids = jnp.zeros((d,), jnp.int32)
+        emit = matched & new_confirmed & alive
+        det_ids = det_ids.at[jnp.clip(match_col, 0)].max(
+            jnp.where(emit, ids, 0)
+        )
+        # first frame: brand-new tracks emit immediately (ByteTrack
+        # activates frame-1 tracks instantly); handled by caller offset.
+
+        new_state = TrackState(
+            boxes=nb, velocity=nv, ids=ids, age_since_update=na,
+            confirmed=nc, next_id=next_id,
+        )
+        return new_state, det_ids
+
+    state = init_state(max_tracks)
+    # Frame 1 special case (instant activation): run one step with
+    # confirmed semantics by pre-confirming spawned tracks of frame 0.
+    state, first_ids = _first_frame(state, boxes[0], scores[0], valid[0],
+                                    det_thresh, max_tracks)
+    rest_state, rest_ids = jax.lax.scan(
+        step, state, (boxes[1:], scores[1:], valid[1:])
+    )
+    ids = jnp.concatenate([first_ids[None], rest_ids], axis=0)
+    return ids, rest_state
+
+
+def _first_frame(state, fboxes, fscores, fvalid, det_thresh, max_tracks):
+    spawnable = fvalid & (fscores >= det_thresh)
+    d = fboxes.shape[0]
+
+    def spawn(carry, slot):
+        ids, boxes_, conf, next_id, mask, det_ids = carry
+        det_i = jnp.argmax(mask)
+        has = jnp.any(mask)
+        do = has & (ids[slot] == 0)
+        ids = jnp.where(do, ids.at[slot].set(next_id), ids)
+        boxes_ = jnp.where(do, boxes_.at[slot].set(fboxes[det_i]), boxes_)
+        conf = jnp.where(do, conf.at[slot].set(True), conf)
+        det_ids = jnp.where(do, det_ids.at[det_i].set(next_id), det_ids)
+        mask = jnp.where(do, mask.at[det_i].set(False), mask)
+        next_id = jnp.where(do, next_id + 1, next_id)
+        return (ids, boxes_, conf, next_id, mask, det_ids), None
+
+    (ids, boxes_, conf, next_id, _, det_ids), _ = jax.lax.scan(
+        spawn,
+        (state.ids, state.boxes, state.confirmed, state.next_id, spawnable,
+         jnp.zeros((d,), jnp.int32)),
+        jnp.arange(max_tracks),
+    )
+    return (
+        TrackState(
+            boxes=boxes_,
+            velocity=state.velocity,
+            ids=ids,
+            age_since_update=state.age_since_update,
+            confirmed=conf,
+            next_id=next_id,
+        ),
+        det_ids,
+    )

@@ -1,24 +1,31 @@
-"""Fused multi-tracker device pipeline: one upload, one XLA program per chunk.
+"""Fused multi-tracker device pipeline: one upload per chunk, three packed
+sub-programs sharing it.
 
 The sequential runner uploads the full clip to the device once PER TRACKER
 (players, pose, ball all consume raw frames). On a tunneled or
 bandwidth-bound link that host->device traffic dominates. This pipeline
-sends each uint8 frame chunk ONCE and runs every per-frame model inside a
-single jitted megastep:
+sends each uint8 frame chunk ONCE and runs the per-frame models as three
+separately-jitted sub-steps over that buffer (a single fused mega-program
+was tried: it saves nothing — the models share no compute — and XLA's
+optimization time explodes ~450s vs ~60s split):
 
-  frames_u8 (B, H, W, 3)
-    ├── letterbox -> YOLOv8 det -> NMS -> unletterbox -> polygon gate
-    ├── squash-resize -> YOLOv8 pose -> NMS -> keypoint gather/rescale
-    └── resize(288x512) ──┐ (carried 7-frame window context)
-                          └─ TrackNet windows -> rolling overlap ensemble
-                             -> heatmap decode  (7-frame output lag)
+  frames_u8 (B, H, W, 3)   [one device_put]
+    ├── det:  letterbox -> YOLOv8 -> NMS -> unletterbox -> polygon gate
+    ├── pose: squash-resize -> YOLOv8-pose -> NMS -> kpt gather/rescale
+    └── ball: resize(288x512) + carried 7-frame context -> TrackNet
+              windows -> rolling overlap ensemble -> heatmap decode
 
-Ball alignment: after chunk k (frames [kB, kB+B)), the windows that become
-complete are those ending inside the chunk — w in [kB-7, kB+B-8] — and the
-ensembled outputs emitted are frames [kB-7, kB+B-8] (clipped to >= 0);
-the final seq_len-1 frames flush in a tail step. This reproduces the
-single-tracker path bit-for-bit (tested) while cutting transfers 3x and
-letting XLA overlap all four models' compute in one schedule.
+Each sub-step returns ONE packed buffer (every drained array is a device
+round-trip); the ensemble coefficient table lives on device and is sliced
+by a scalar chunk index; up to two chunks stay in flight so host drains
+overlap device work.
+
+Ball alignment: after chunk k (frames [kB, kB+B)), the windows completed
+are those ending inside the chunk — w in [kB-(L-1), kB+B-L] — and the
+frames emitted are f = kB-(L-1)+j; the clip is zero-extended by L-1 frames
+so the tail flushes through the same uniform loop (windows touching
+padding carry coefficient 0). Bit-identical to the per-tracker paths
+(tests/test_fused.py).
 
 The reference has no equivalent — it runs four sequential full-video
 passes with one model resident at a time (runner.py:185-234).
@@ -51,7 +58,6 @@ from .objects import (
 )
 from .player_keypoints import PlayerKeypointsTracker
 from .players import PlayerTracker
-from . import _engine
 
 
 class FusedPipeline:
@@ -318,7 +324,9 @@ class FusedPipeline:
         n_ext = n + seq_len - 1
         num_chunks = -(-n_ext // b)
 
-        pending = None  # (emit_lo, n_real_frames, packed device outputs)
+        import collections
+
+        pending = collections.deque()  # packed device outputs, depth-2 queue
 
         def drain(item):
             emit_lo, n_real_frames, det_packed, pose_packed, ball_packed = item
@@ -377,13 +385,15 @@ class FusedPipeline:
                 coef_table_dev,
                 lo,
             )
-            # Drain chunk k-1 AFTER dispatching chunk k: its host syncs
-            # overlap with this chunk's device work.
-            if pending is not None:
-                drain(pending)
-            pending = (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed)
-        if pending is not None:
-            drain(pending)
+            # Keep up to 2 chunks in flight; drain the oldest so host
+            # syncs overlap with in-flight device work.
+            pending.append(
+                (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed)
+            )
+            if len(pending) > 2:
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
 
         assert len(ball_x) == n, (len(ball_x), n)
 

@@ -111,3 +111,38 @@ def vector_angles_array(vectors: np.ndarray) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.clip(np.where(norms > 0, dots / norms, 1.0), -1.0, 1.0)
     return np.degrees(np.arccos(cos))
+
+
+def detect_hits(
+    ball_detections: list[Ball],
+    angle_threshold_deg: float = 50.0,
+    min_speed_px: float = 3.0,
+    min_gap_frames: int = 5,
+) -> list[int]:
+    """Candidate hit/bounce frames: sharp direction changes of the ball
+    trajectory (the analysis the reference's angle primitive exists for).
+
+    A frame f is a hit candidate when the angle between the incoming and
+    outgoing velocity vectors exceeds the threshold, both vectors have
+    real magnitude, the ball is visible, and it is a local angle maximum
+    at least `min_gap_frames` from the previous hit."""
+    vectors = velocity_vectors_array(ball_detections)
+    angles = vector_angles_array(vectors)  # angle at frame i+1
+    speed = np.linalg.norm(vectors, axis=1)
+    vis = np.array([b.visibility for b in ball_detections])
+    hits: list[int] = []
+    for i in range(len(angles)):
+        f = i + 1
+        if angles[i] < angle_threshold_deg:
+            continue
+        if speed[i] < min_speed_px or speed[i + 1] < min_speed_px:
+            continue
+        if not (vis[f - 1] and vis[f] and vis[f + 1]):
+            continue
+        lo, hi = max(0, i - 2), min(len(angles), i + 3)
+        if angles[i] < np.max(angles[lo:hi]):
+            continue
+        if hits and f - hits[-1] < min_gap_frames:
+            continue
+        hits.append(f)
+    return hits

@@ -1,0 +1,155 @@
+"""Training data pipeline for TrackNet (reference dataset layout).
+
+The reference trains from rally directories shaped like
+
+    <match_dir>/frame/<rally_id>/<frame>.png      (decoded frames)
+    <match_dir>/csv/<rally_id>_ball.csv           (Frame,X,Y,Visibility)
+    <match_dir>/frame/<rally_id>/median.npz       (optional median)
+
+(dataset.py's _gen_input_from_rally machinery). This module loads that
+layout into device-ready batches: sliding windows of resized frames with
+the median-concat channel stack and Gaussian-disc heatmap labels (both the
+exact reference semantics via ops/ + training/tracknet.py), with optional
+frame-mixup augmentation (training/augmentation.py). Everything heavy
+(resize, labels, mixup) runs on device; the host only decodes images.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.median import median_background
+from ..ops.resize import resize_plan
+from .augmentation import frame_mixup
+from .tracknet import gaussian_heatmap_labels
+
+
+@dataclass
+class RallyClip:
+    frames: np.ndarray  # (N, H, W, 3) uint8 at model resolution
+    coords: np.ndarray  # (N, 2) float32 ball coords in MODEL pixels
+    visibility: np.ndarray  # (N,) float32
+    median: np.ndarray  # (H, W, 3) uint8 at model resolution
+
+
+def load_rally(
+    match_dir: str | Path,
+    rally_id: str,
+    height: int = 288,
+    width: int = 512,
+    img_format: str = "png",
+) -> RallyClip:
+    """Load one rally directory into a RallyClip."""
+    import cv2
+
+    match_dir = Path(match_dir)
+    frame_dir = match_dir / "frame" / rally_id
+    csv_path = match_dir / "csv" / f"{rally_id}_ball.csv"
+
+    rows = []
+    with open(csv_path) as f:
+        for row in csv.DictReader(f):
+            rows.append(row)
+    rows.sort(key=lambda r: int(r["Frame"]))
+
+    raw_frames = []
+    coords = []
+    vis = []
+    src_hw = None
+    for row in rows:
+        img = cv2.imread(str(frame_dir / f"{row['Frame']}.{img_format}"))
+        if img is None:
+            raise FileNotFoundError(frame_dir / f"{row['Frame']}.{img_format}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        src_hw = img.shape[:2]
+        raw_frames.append(img)
+        coords.append((float(row["X"]), float(row["Y"])))
+        vis.append(float(row["Visibility"]))
+
+    median_path = frame_dir / "median.npz"
+    if median_path.exists():
+        median_full = np.load(median_path)["median"].astype(np.uint8)
+    else:
+        median_full = median_background(np.stack(raw_frames))
+
+    plan = resize_plan(src_hw, (height, width), "pil_bicubic")
+    stacked = jnp.asarray(np.stack(raw_frames))
+    resized = np.clip(
+        np.floor(np.asarray(plan.apply(stacked)) + 0.5), 0, 255
+    ).astype(np.uint8)
+    med = np.clip(
+        np.floor(
+            np.asarray(plan.apply(jnp.asarray(median_full.astype(np.float32)))) + 0.5
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    scale = np.array([width / src_hw[1], height / src_hw[0]], np.float32)
+    coords = np.asarray(coords, np.float32) * scale
+    vis_arr = np.asarray(vis, np.float32)
+    coords[vis_arr == 0] = 0.0  # absent balls are (0, 0) like the reference
+    return RallyClip(
+        frames=resized, coords=coords, visibility=vis_arr, median=med
+    )
+
+
+def window_batches(
+    clip: RallyClip,
+    seq_len: int = 8,
+    batch_size: int = 8,
+    rng: Optional[np.random.Generator] = None,
+    mixup_alpha: float = 0.0,
+    jax_rng: Optional[jax.Array] = None,
+    sigma: float = 2.5,
+) -> Iterator[tuple[jnp.ndarray, jnp.ndarray]]:
+    """Yield (x (B, H, W, (L+1)*3), labels (B, H, W, L)) training batches
+    of stride-1 windows, shuffled, with optional frame-mixup."""
+    n = clip.frames.shape[0]
+    h, w = clip.frames.shape[1:3]
+    num_windows = n - seq_len + 1
+    if num_windows <= 0:
+        return
+    rng = rng or np.random.default_rng(0)
+    order = rng.permutation(num_windows)
+    med = jnp.asarray(clip.median.astype(np.float32))
+    key = jax_rng if jax_rng is not None else jax.random.PRNGKey(0)
+
+    for lo in range(0, num_windows - batch_size + 1, batch_size):
+        starts = order[lo : lo + batch_size]
+        idx = starts[:, None] + np.arange(seq_len)[None, :]
+        frames = jnp.asarray(clip.frames[idx].astype(np.float32))  # (B,L,H,W,3)
+        coords = jnp.asarray(clip.coords[idx])
+        vis = jnp.asarray(clip.visibility[idx])
+
+        if mixup_alpha > 0:
+            key, *subkeys = jax.random.split(key, batch_size + 1)
+            outs = [
+                frame_mixup(
+                    subkeys[i], frames[i], coords[i], vis[i], h, w,
+                    sigma=sigma, alpha=mixup_alpha,
+                )
+                for i in range(batch_size)
+            ]
+            frames = jnp.stack([o[0] for o in outs])
+            heat = jnp.stack([o[1] for o in outs])
+        else:
+            heat = jax.vmap(
+                lambda c: gaussian_heatmap_labels(c, h, w, sigma)
+            )(coords)  # (B, L, H, W)
+            heat = heat * vis[..., None, None]
+
+        med_b = jnp.broadcast_to(med[None], (batch_size, h, w, 3))
+        parts = [med_b] + [frames[:, j] for j in range(seq_len)]
+        x = jnp.concatenate(parts, axis=-1) / 255.0
+        labels = jnp.transpose(heat, (0, 2, 3, 1))  # (B, H, W, L)
+        yield x, labels
