@@ -59,7 +59,7 @@ def _load_config(args) -> PipelineConfig:
     if args.variant:
         cfg.players.model_variant = args.variant
         cfg.player_keypoints.model_variant = args.variant
-        cfg.court_keypoints.model_type = cfg.court_keypoints.model_type
+        cfg.court_keypoints.model_variant = args.variant
     return cfg
 
 

@@ -82,6 +82,7 @@ class CourtKeypointsTrackerConfig:
 
     model_path: Optional[str] = None
     model_type: str = "yolo"  # "resnet" | "yolo"
+    model_variant: str = "m"  # YOLOv8 variant for the 'yolo' mode
     batch_size: int = 8
     number_keypoints: int = 12
     train_image_size: int = 640

@@ -225,20 +225,6 @@ def load_torch_checkpoint(path: str):
         "ultralytics.utils.tal",
     ]
 
-    class _StubFinder:
-        def find_module(self, name, path=None):
-            return self if name.split(".")[0] == "ultralytics" else None
-
-        def load_module(self, name):
-            if name in sys.modules:
-                return sys.modules[name]
-            mod = types.ModuleType(name)
-            mod.__getattr__ = lambda attr, _n=name: type(
-                attr, (torch.nn.Module,), {"__module__": _n}
-            )
-            sys.modules[name] = mod
-            return mod
-
     installed = []
     for name in stub_roots:
         if name not in sys.modules:

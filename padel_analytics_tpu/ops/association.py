@@ -210,11 +210,13 @@ class ByteTrack:
         assigned_ids = np.full(len(confidence), -1, dtype=np.int64)
 
         # --- stage 1: high detections vs (tracked + lost) ---
+        # ByteTrack's match_thresh (0.8) gates the COST (1 - IoU), i.e.
+        # matches need IoU >= 0.2 — not IoU >= 0.8.
         pool = tracked + lost
         pool_boxes = np.array([t.xyxy for t in pool]).reshape(-1, 4)
         det_boxes = xyxy[det_high_idx]
         cost = 1.0 - _iou_matrix(pool_boxes, det_boxes)
-        matches, un_track, un_det = _linear_assignment(cost, 1.0 - self.match_thresh + 1e-9)
+        matches, un_track, un_det = _linear_assignment(cost, self.match_thresh)
         for r, c in matches:
             t = pool[r]
             d_i = det_high_idx[c]
@@ -256,7 +258,8 @@ class ByteTrack:
         if unconfirmed:
             boxes_u = np.array([t.xyxy for t in unconfirmed]).reshape(-1, 4)
             cost3 = 1.0 - _iou_matrix(boxes_u, xyxy[leftover_high])
-            matches3, un_u, un_d3 = _linear_assignment(cost3, 0.3)
+            # ByteTrack gates unconfirmed tracks at cost 0.7 (IoU >= 0.3).
+            matches3, un_u, un_d3 = _linear_assignment(cost3, 0.7)
             for r, c in matches3:
                 t = unconfirmed[r]
                 d_i = leftover_high[c]

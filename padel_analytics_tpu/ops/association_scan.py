@@ -109,7 +109,14 @@ def associate_clip(
         matched1 = m1 >= 0
         # stage 2: still-unmatched tracks vs low dets
         rem = active & ~matched1
-        col_used = jnp.zeros((d,), bool).at[jnp.clip(m1, 0)].set(matched1)
+        # scatter-MAX, not set: unmatched rows clip to index 0 and a
+        # plain set could overwrite a genuine True with False.
+        col_used = (
+            jnp.zeros((d,), jnp.int32)
+            .at[jnp.clip(m1, 0)]
+            .max(matched1.astype(jnp.int32))
+            > 0
+        )
         m2 = _greedy_match(iou, rem, low & ~col_used, 0.5, max_tracks)
         matched2 = m2 >= 0
         match_col = jnp.where(matched1, m1, jnp.where(matched2, m2, -1))
@@ -130,7 +137,12 @@ def associate_clip(
         ids = jnp.where(alive, state.ids, 0)
 
         # spawn tracks from unmatched high dets above det_thresh
-        col_taken = jnp.zeros((d,), bool).at[jnp.clip(match_col, 0)].set(matched)
+        col_taken = (
+            jnp.zeros((d,), jnp.int32)
+            .at[jnp.clip(match_col, 0)]
+            .max(matched.astype(jnp.int32))
+            > 0
+        )
         spawnable = high & ~col_taken & (fscores >= det_thresh)
 
         def spawn(carry, slot):

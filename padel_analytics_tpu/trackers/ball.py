@@ -115,6 +115,7 @@ class BallTracker(Tracker):
             self.WIDTH = config.width
             self.SIGMA = config.sigma
             self.EVAL_MODE = config.eval_mode
+            self.TRAJECTORY_LENGTH = config.seq_len
 
         self.DELTA_T = 1 / math.sqrt(self.HEIGHT**2 + self.WIDTH**2)
         self.COOR_TH = self.DELTA_T * 50
@@ -126,7 +127,7 @@ class BallTracker(Tracker):
 
         # --- TrackNet ---
         self.tracknet_seq_len = self.TRAJECTORY_LENGTH
-        self.bg_mode = "concat"
+        self.bg_mode = config.bg_mode if config is not None else "concat"
         param_dict: dict = {}
         variables = None
         if tracking_model_path and str(tracking_model_path).endswith(
@@ -138,6 +139,13 @@ class BallTracker(Tracker):
             self.bg_mode = param_dict.get("bg_mode", "concat")
             assert self.tracknet_seq_len == self.TRAJECTORY_LENGTH
             tracking_model_path = None  # already converted
+        if self.bg_mode != "concat":
+            # The reference's shipped checkpoints and config use 'concat'
+            # (ball_tracker.py:403); the other bg_modes' window assembly
+            # (difference images) is not implemented in the device steps.
+            raise NotImplementedError(
+                f"bg_mode={self.bg_mode!r} not supported; only 'concat'"
+            )
         model, in_dim = make_tracknet(
             self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype
         )

@@ -66,6 +66,7 @@ class KeypointsTracker(Tracker):
             model_path = config.model_path or model_path
             batch_size = config.batch_size
             model_type = config.model_type
+            model_variant = config.model_variant
             self.TRAIN_IMAGE_SIZE = config.train_image_size
             self.RESNET_SIZE = config.resnet_image_size
             self.CONF = config.conf
@@ -165,8 +166,15 @@ class KeypointsTracker(Tracker):
         )
         kpts, valid = step(self.engine.variables, jnp.asarray(padded))
         kpts = np.asarray(kpts)[:n_real]
+        valid = np.asarray(valid)[:n_real]
         predictions = []
         for f in range(kpts.shape[0]):
+            if not valid[f]:
+                # No court detection cleared conf: emit an empty Keypoints
+                # (falsy), so the projection pass skips/clears H for this
+                # frame (projected_court.py:644-647 semantics).
+                predictions.append(Keypoints([]))
+                continue
             predictions.append(
                 Keypoints(
                     [

@@ -194,7 +194,8 @@ class FusedPipeline:
         tracknet = self.ball.tracknet.model
 
         def ball_step(
-            tn_vars, frames_u8, median_u8, frame_carry, heat_carry, coef_table, lo
+            tn_vars, frames_u8, median_u8, frame_carry, heat_carry, coef_table,
+            lo, swap_flags,
         ):
             # coef_table lives on device for the whole run; slice this
             # chunk's emitted-frame rows with a scalar start index (rows
@@ -202,6 +203,14 @@ class FusedPipeline:
             coef = jax.lax.dynamic_slice_in_dim(coef_table, lo, b, axis=0)
             resized = ball_plan.apply(frames_u8)
             resized = jnp.clip(jnp.floor(resized + 0.5), 0, 255)  # PIL uint8
+            # Reference median-quirk channel swap applied ONLY to the ball
+            # branch (resize is per-channel, so swapping after the resize
+            # equals swapping before it); det/pose keep RGB.
+            resized = jnp.where(
+                swap_flags[:, None, None, None] > 0,
+                resized[..., ::-1],
+                resized,
+            )
             frames_ext = jnp.concatenate([frame_carry, resized], axis=0)
             med = jnp.broadcast_to(
                 median_u8[None].astype(jnp.float32),
@@ -237,12 +246,18 @@ class FusedPipeline:
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
 
-        # --- median (+ channel quirk) handled by the ball tracker's
-        # gather, which we reuse for frame collection.
-        frames: list[np.ndarray] = []
+        # --- median estimation over the head of the clip; frames stay RGB
+        # for det/pose, and the reference's channel quirk (the ball path
+        # sees the first median_max_sample_num frames BGR) is applied to
+        # the ball branch ON DEVICE via per-frame flags.
+        #
+        # Frames stream through a bounded window: only the median prefix
+        # plus one in-flight chunk is ever resident, so arbitrarily long
+        # clips run in O(median_range + chunk) host memory.
         buffered: list[np.ndarray] = []
         need_median = ball.median is None and ball.bg_mode
         it = iter(frame_iter)
+        quirk_upto = 0
         if need_median:
             for frame in it:
                 buffered.append(frame)
@@ -252,34 +267,35 @@ class FusedPipeline:
 
             ball.median = median_background(np.stack(buffered))
             if ball.channel_quirk:
-                frames.extend(f[..., ::-1] for f in buffered)
-            else:
-                frames.extend(buffered)
-            quirk_upto = len(frames)
-        else:
-            quirk_upto = 0
-        frames.extend(it)
-        n = len(frames)
-        if n < seq_len:
-            raise ValueError("clip shorter than seq_len")
+                quirk_upto = len(buffered)
 
-        src_hw = frames[0].shape[:2]
-        # NOTE: the channel quirk swaps only the BALL path's input in the
-        # reference; in the fused path the swap would also affect
-        # players/pose, so the fused pipeline only applies it when
-        # explicitly requested AND documents the divergence. Here we undo
-        # the swap for det/pose by re-swapping inside the step? Cheaper:
-        # only the ball path's parity is affected by the quirk; det/pose
-        # see RGB in the reference. So feed RGB and apply the swap to the
-        # ball branch on device for the first `quirk_upto` frames.
-        # Implemented below via a per-frame flag.
-        quirk_flags = np.zeros(n, bool)
-        if quirk_upto and ball.channel_quirk:
-            # frames[:quirk_upto] are already swapped; unswap for det/pose
-            # and mark the ball branch to use the swapped version.
-            for i in range(quirk_upto):
-                frames[i] = frames[i][..., ::-1]
-            quirk_flags[:quirk_upto] = True
+        import collections as _collections
+
+        window: _collections.deque[np.ndarray] = _collections.deque(buffered)
+        del buffered
+        window_base = 0  # global index of window[0]
+        exhausted = False
+
+        def fill_to(hi: int) -> int:
+            """Extend the window so frames [window_base, hi) are present;
+            returns the number of real frames available (may be < hi)."""
+            nonlocal exhausted
+            while not exhausted and window_base + len(window) < hi:
+                nxt = next(it, None)
+                if nxt is None:
+                    exhausted = True
+                    break
+                window.append(nxt)
+            return window_base + len(window)
+
+        avail = fill_to(seq_len)
+        if avail < seq_len or not window:
+            raise ValueError("clip shorter than seq_len")
+        n = total_frames  # trusted like the reference; verified at the end
+
+        src_hw = window[0].shape[:2]
+        quirk_flags = np.zeros(n, np.float32)
+        quirk_flags[: min(quirk_upto, n)] = 1.0
 
         # median resized (reuse ball helper logic)
         plan = resize_plan(ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic")
@@ -320,7 +336,7 @@ class FusedPipeline:
         # (including the tail) is then emitted by the uniform chunk loop —
         # windows touching the zero padding get coefficient 0 from the
         # table, so the padding never contaminates real outputs.
-        zero_frame = np.zeros_like(frames[0])
+        zero_frame = np.zeros_like(window[0])
         n_ext = n + seq_len - 1
         num_chunks = -(-n_ext // b)
 
@@ -353,21 +369,21 @@ class FusedPipeline:
 
         for k in range(num_chunks):
             lo, hi = k * b, min((k + 1) * b, n_ext)
+            avail = fill_to(min(hi, n))
             chunk_frames = [
-                frames[i] if i < n else zero_frame for i in range(lo, hi)
+                window[i - window_base] if i < min(avail, n) else zero_frame
+                for i in range(lo, hi)
             ]
-            # Native single-pass pack (+ fused channel reversal for the
-            # reference's median quirk). NOTE: with channel_quirk=True the
-            # det/pose branches see the swapped channels for the first
-            # median_range frames (the reference's quirk only affects its
-            # ball path); the divergence is confined to those head frames.
             chunk_frames += [zero_frame] * (b - len(chunk_frames))
-            arr = pack_frames(
-                chunk_frames,
-                swap=quirk_flags[lo:hi].tolist() + [False] * (b - (hi - lo))
-                if quirk_flags[lo:hi].any()
-                else None,
-            )
+            arr = pack_frames(chunk_frames)  # native single-pass pack, RGB
+            # Drop frames this chunk consumed (kept until packed).
+            while window_base < min(hi, n) and window:
+                window.popleft()
+                window_base += 1
+            swap_chunk = np.zeros(b, np.float32)
+            upto = min(hi, n) - lo
+            if upto > 0:
+                swap_chunk[:upto] = quirk_flags[lo : lo + upto]
             n_real_frames = max(0, min(hi, n) - lo)
             emit_lo = lo - (seq_len - 1)
 
@@ -384,6 +400,7 @@ class FusedPipeline:
                 heat_carry,
                 coef_table_dev,
                 lo,
+                jnp.asarray(swap_chunk),
             )
             # Keep up to 2 chunks in flight; drain the oldest so host
             # syncs overlap with in-flight device work.

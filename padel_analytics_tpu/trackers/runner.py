@@ -198,7 +198,10 @@ class TrackingRunner:
         )
 
         for frame_index, frame in enumerate(self.frame_store):
-            frame_rgb = np.ascontiguousarray(frame)
+            # Copy: the store may be serving its RAM cache, and drawing
+            # must never mutate the cached frames (re-runs would then
+            # re-infer on annotated images).
+            frame_rgb = np.ascontiguousarray(frame).copy()
             cv2.putText(
                 frame_rgb,
                 f"Frame: {frame_index + 1}",

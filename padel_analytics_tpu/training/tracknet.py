@@ -62,7 +62,10 @@ class TrackNetTrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
-    step: int = 0
+    # step is a pytree CHILD (traced array), not aux data: as aux it would
+    # be part of the static treedef and every increment would force a full
+    # retrace/recompile of the jitted train step.
+    step: Any = 0
 
 
 def make_tracknet_train_step(
@@ -119,6 +122,6 @@ def init_train_state(
 
 jax.tree_util.register_pytree_node(
     TrackNetTrainState,
-    lambda s: ((s.params, s.batch_stats, s.opt_state), s.step),
-    lambda step, children: TrackNetTrainState(*children, step=step),
+    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
+    lambda _, children: TrackNetTrainState(*children),
 )

@@ -82,3 +82,18 @@ def test_ids_start_at_one_and_increment():
     bt.reset()
     ids, _ = bt.update_with_detections(np.array([_box(100, 100)]), np.array([0.9]))
     assert ids[0] == 1
+
+
+def test_moderate_iou_match_keeps_id():
+    """Regression: ByteTrack's 0.8 match threshold gates COST (1 - IoU),
+    so a fast-moving player with ~0.45 IoU between frames must keep its
+    ID (the inverted gate required IoU >= 0.8 and churned IDs)."""
+    bt = ByteTrack(frame_rate=30)
+    ids0, _ = bt.update_with_detections(
+        np.array([_box(200, 400, w=40, h=80)]), np.array([0.9])
+    )
+    # Move 20px in x: IoU(prev, new) = (40-20)/(40+20) = 0.33 >= 0.2.
+    ids1, keep = bt.update_with_detections(
+        np.array([_box(220, 400, w=40, h=80)]), np.array([0.9])
+    )
+    assert keep.all() and ids1[0] == ids0[0]
