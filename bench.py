@@ -133,6 +133,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--per-tracker", action="store_true")
     args = parser.parse_args()
 
     if args.smoke:
@@ -177,6 +178,30 @@ def main() -> int:
         f"stages {runner.stage_times}",
         file=sys.stderr,
     )
+
+    # Per-tracker figures (BASELINE.json's per-config metrics): timed
+    # sequential passes at batch 8, stderr only. Opt-in: the sequential
+    # steps compile separately (~minutes), so the default driver run
+    # reports only the end-to-end number.
+    if args.per_tracker and not args.smoke:
+        import contextlib
+
+        with contextlib.redirect_stdout(sys.stderr):
+            runner.restart()
+            runner.fused = False
+            t0 = time.perf_counter()
+            runner.run()
+            seq_elapsed = time.perf_counter() - t0
+        per_tracker = {
+            name: round(n / t, 2)
+            for name, t in runner.stage_times.items()
+            if t > 0
+        }
+        print(
+            f"bench: per-tracker fps (sequential, batch 8): {per_tracker}; "
+            f"sequential end-to-end {n / seq_elapsed:.2f} fps",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

@@ -472,9 +472,13 @@ class BallTracker(Tracker):
             )
         )
 
-        # Denormalize (predict.py:127-128: int(c * WIDTH * img_scaler)).
-        xs = [int(v) for v in (ens[:, 0] * w)]
-        ys = [int(v) for v in (ens[:, 1] * h)]
+        # Denormalize in the reference's exact float order
+        # (predict.py:127-128: int(c * WIDTH * img_scaler) — NOT int(c * w);
+        # the two differ by 1 at int-truncation boundaries).
+        w_scaler = w / self.WIDTH
+        h_scaler = h / self.HEIGHT
+        xs = [int(v * self.WIDTH * w_scaler) for v in ens[:, 0]]
+        ys = [int(v * self.HEIGHT * h_scaler) for v in ens[:, 1]]
         vis = [0 if (x == 0 and y == 0) else 1 for x, y in zip(xs, ys)]
         return {
             "frame": list(range(video_len)),

@@ -1,0 +1,110 @@
+"""BallTracker._inpaint_pass numeric parity against a direct numpy
+replication of the reference's InpaintNet inference loop
+(/root/reference/trackers/ball_tracker/ball_tracker.py:525-673):
+window generation (dataset.py:387-429), source-dim normalization
+(dataset.py:497-501), blend + COOR_TH clamps, the overlap ensemble with
+head/body/tail weighting, and predict()'s int denormalization."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from padel_analytics_tpu.config import BallTrackerConfig
+from padel_analytics_tpu.trackers.ball import BallTracker
+from padel_analytics_tpu.utils.video import VideoInfo
+
+
+def _reference_inpaint(pred, net_fn, seq_len, w, h, coor_th, eval_mode="weight"):
+    """Numpy replication of ball_tracker.py:525-673."""
+    from padel_analytics_tpu.ops.ensemble import get_ensemble_weight
+
+    x = np.asarray(pred["x"], np.float32) / w
+    y = np.asarray(pred["y"], np.float32) / h
+    mask = np.asarray(pred["inpaint_mask"], np.float32)
+    n = len(x)
+    num_windows = n - seq_len + 1
+    idx = np.arange(num_windows)[:, None] + np.arange(seq_len)[None, :]
+    coor = np.stack([x, y], -1)[idx]  # (N_w, L, 2)
+    m = mask[idx][..., None]
+
+    out = np.asarray(net_fn(jnp.asarray(coor), jnp.asarray(m)))
+    blended = out * m + coor * (1 - m)
+    th = (blended[..., 0] < coor_th) & (blended[..., 1] < coor_th)
+    blended[th] = 0.0
+
+    # rolling-buffer ensemble (ball_tracker.py:589-653)
+    weight = get_ensemble_weight(seq_len, eval_mode)
+    buf = np.concatenate(
+        [np.zeros((seq_len - 1, seq_len, 2), np.float32), blended], 0
+    )
+    outs = []
+    for s in range(num_windows):
+        rows = buf[np.arange(seq_len) + s, np.arange(seq_len - 1, -1, -1)]
+        if s < seq_len - 1:
+            outs.append(rows.sum(0) / (s + 1))
+        else:
+            outs.append((rows * weight[:, None]).sum(0))
+    buf = np.concatenate([buf, np.zeros((seq_len - 1, seq_len, 2), np.float32)], 0)
+    s = num_windows - 1
+    for frame_i in range(1, seq_len):
+        rows = buf[np.arange(seq_len) + s + frame_i, np.arange(seq_len - 1, -1, -1)]
+        outs.append(rows.sum(0) / (seq_len - frame_i))
+    ens = np.stack(outs)
+    th2 = (ens[:, 0] < coor_th) & (ens[:, 1] < coor_th)
+    ens[th2] = 0.0
+    xs = [int(v * 512 * (w / 512)) for v in ens[:, 0]]
+    ys = [int(v * 288 * (h / 288)) for v in ens[:, 1]]
+    vis = [0 if (a == 0 and b == 0) else 1 for a, b in zip(xs, ys)]
+    return xs, ys, vis
+
+
+def test_inpaint_pass_matches_reference_replication(rng):
+    w, h, n = 1280, 720, 40
+    tracker = BallTracker(
+        None,
+        "random_init_inpaint",  # nonexistent path -> random init, model ON
+        compute_dtype=jnp.float32,
+        config=BallTrackerConfig(batch_size=4, median_max_sample_num=4),
+    )
+    tracker.video_info_post_init(VideoInfo(width=w, height=h, fps=30, total_frames=n))
+    assert tracker.inpaintnet is not None
+    seq_len = tracker.inpaintnet_seq_len
+
+    # A plausible trajectory with a gap (the mask flags it for inpainting).
+    xs = (np.linspace(100, 1100, n) + rng.normal(0, 3, n)).astype(int)
+    ys = (400 + 150 * np.sin(np.linspace(0, 3, n)) + rng.normal(0, 2, n)).astype(int)
+    vis = np.ones(n, int)
+    vis[15:20] = 0
+    xs[vis == 0] = 0
+    ys[vis == 0] = 0
+    pred = {
+        "frame": list(range(n)),
+        "x": xs.tolist(),
+        "y": ys.tolist(),
+        "visibility": vis.tolist(),
+    }
+
+    out = tracker._inpaint_pass(dict(pred), n)
+
+    from padel_analytics_tpu.trackers.ball import generate_inpaint_mask
+
+    pred_ref = dict(pred)
+    pred_ref["inpaint_mask"] = generate_inpaint_mask(pred, th_h=h * 0.05)
+    net_fn = lambda c, m: tracker.inpaintnet.model.apply(
+        tracker.inpaintnet.variables, c, m
+    )
+    rx, ry, rv = _reference_inpaint(
+        pred_ref, net_fn, seq_len, w, h, tracker.COOR_TH
+    )
+    # int() truncation sits on float boundaries: summation-order ulp noise
+    # between the jit ensemble and the numpy replication can flip a value
+    # by 1. Require <=1px everywhere and near-total exact agreement.
+    dx = np.abs(np.array(out["x"]) - np.array(rx))
+    dy = np.abs(np.array(out["y"]) - np.array(ry))
+    assert dx.max() <= 1 and dy.max() <= 1
+    assert (dx == 0).mean() >= 0.9 and (dy == 0).mean() >= 0.9
+    assert out["visibility"] == rv
