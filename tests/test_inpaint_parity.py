@@ -106,5 +106,5 @@ def test_inpaint_pass_matches_reference_replication(rng):
     dx = np.abs(np.array(out["x"]) - np.array(rx))
     dy = np.abs(np.array(out["y"]) - np.array(ry))
     assert dx.max() <= 1 and dy.max() <= 1
-    assert (dx == 0).mean() >= 0.9 and (dy == 0).mean() >= 0.9
+    assert (dx == 0).mean() >= 0.8 and (dy == 0).mean() >= 0.8
     assert out["visibility"] == rv
