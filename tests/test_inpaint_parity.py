@@ -56,14 +56,21 @@ def _reference_inpaint(pred, net_fn, seq_len, w, h, coor_th, eval_mode="weight")
     ens = np.stack(outs)
     th2 = (ens[:, 0] < coor_th) & (ens[:, 1] < coor_th)
     ens[th2] = 0.0
-    xs = [int(v * 512 * (w / 512)) for v in ens[:, 0]]
-    ys = [int(v * 288 * (h / 288)) for v in ens[:, 1]]
+    fx = [float(v * 512 * (w / 512)) for v in ens[:, 0]]
+    fy = [float(v * 288 * (h / 288)) for v in ens[:, 1]]
+    xs = [int(v) for v in fx]
+    ys = [int(v) for v in fy]
     vis = [0 if (a == 0 and b == 0) else 1 for a, b in zip(xs, ys)]
-    return xs, ys, vis
+    return xs, ys, vis, fx, fy
 
 
 def test_inpaint_pass_matches_reference_replication(rng):
-    w, h, n = 1280, 720, 40
+    # Non-round dims: with w=1280 the integer test coords normalize to
+    # values whose denormalized products sit EXACTLY on int-truncation
+    # boundaries, where 1e-7 accumulation noise flips the int — an
+    # artifact of synthetic integer data, not an implementation diff
+    # (the ensembles agree to ~1e-7; verified separately).
+    w, h, n = 1279, 719, 40
     tracker = BallTracker(
         None,
         "random_init_inpaint",  # nonexistent path -> random init, model ON
@@ -97,14 +104,23 @@ def test_inpaint_pass_matches_reference_replication(rng):
     net_fn = lambda c, m: tracker.inpaintnet.model.apply(
         tracker.inpaintnet.variables, c, m
     )
-    rx, ry, rv = _reference_inpaint(
+    rx, ry, rv, fx, fy = _reference_inpaint(
         pred_ref, net_fn, seq_len, w, h, tracker.COOR_TH
     )
-    # int() truncation sits on float boundaries: summation-order ulp noise
-    # between the jit ensemble and the numpy replication can flip a value
-    # by 1. Require <=1px everywhere and near-total exact agreement.
-    dx = np.abs(np.array(out["x"]) - np.array(rx))
-    dy = np.abs(np.array(out["y"]) - np.array(ry))
-    assert dx.max() <= 1 and dy.max() <= 1
-    assert (dx == 0).mean() >= 0.8 and (dy == 0).mean() >= 0.8
+    # Pass-through (unmasked) coordinates denormalize EXACTLY onto their
+    # original integer, i.e. onto the int() truncation boundary, where
+    # ~1e-7 accumulation-order noise legitimately flips the result by 1
+    # (the ensembles agree to ~1e-7; the reference itself is unstable
+    # there). Require exact agreement away from boundaries and <=1px at
+    # them.
+    def check(ours, ref_int, ref_float):
+        for o, ri, rf in zip(ours, ref_int, ref_float):
+            frac = rf - math.floor(rf)
+            if min(frac, 1 - frac) < 1e-3:
+                assert abs(o - ri) <= 1, (o, ri, rf)
+            else:
+                assert o == ri, (o, ri, rf)
+
+    check(out["x"], rx, fx)
+    check(out["y"], ry, fy)
     assert out["visibility"] == rv
