@@ -101,6 +101,7 @@ class BallTracker(Tracker):
         compute_dtype=jnp.bfloat16,
         channel_quirk: bool = True,
         use_inpaintnet: bool = True,
+        mesh=None,
         config: Optional[BallTrackerConfig] = None,
     ):
         super().__init__(load_path=load_path, save_path=save_path)
@@ -124,6 +125,12 @@ class BallTracker(Tracker):
         self.median_max_sample_num = median_max_sample_num
         self.median = median
         self.channel_quirk = channel_quirk
+        # Optional jax.sharding.Mesh with a 'data' axis: the TrackNet
+        # window/ensemble/decode pipeline then runs SPMD with the clip's
+        # frame axis sharded and seq_len-1 halo exchange over ICI
+        # (parallel/sharded_inference.py) instead of the single-device
+        # chunk loop.
+        self.mesh = mesh
 
         # --- TrackNet ---
         self.tracknet_seq_len = self.TRAJECTORY_LENGTH
@@ -272,6 +279,49 @@ class BallTracker(Tracker):
             ]
 
         median_resized = self._median_resized
+
+        mesh_ok = self.mesh is not None and (
+            -(-video_len // self.mesh.shape["data"]) >= seq_len - 1
+        )
+        if self.mesh is not None and not mesh_ok:
+            print(
+                f"{self}: clip too short for {self.mesh.shape['data']}-way "
+                "frame sharding (shard < halo); using single-device path"
+            )
+        if mesh_ok:
+            # ---- multi-chip path: frame axis sharded over mesh 'data'
+            # with halo exchange (bit-equal to the chunk loop; tested).
+            from ..parallel.sharded_inference import sharded_window_inference
+
+            engine = self.tracknet
+
+            def apply_fn(x):
+                return engine.model.apply(engine.variables, x)
+
+            scx, scy, svis = sharded_window_inference(
+                apply_fn,
+                np.stack(resized),
+                median_resized,
+                self.mesh,
+                seq_len=seq_len,
+                eval_mode=self.EVAL_MODE,
+            )
+            pred = {
+                "frame": list(range(video_len)),
+                "x": [int(int(x) * w_scaler) for x in scx],
+                "y": [int(int(y) * h_scaler) for y in scy],
+                "visibility": [int(v) for v in svis],
+            }
+            if self.inpaintnet is not None:
+                pred = self._inpaint_pass(pred, video_len)
+            return [
+                Ball(
+                    frame=i,
+                    xy=(float(pred["x"][i]), float(pred["y"][i])),
+                    visibility=int(pred["visibility"][i]),
+                )
+                for i in range(video_len)
+            ]
 
         # ---- chunked TrackNet + ensemble + decode ----
         # The clip is zero-extended by seq_len-1 frames so every output

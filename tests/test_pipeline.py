@@ -177,3 +177,32 @@ def test_generate_inpaint_mask_semantics():
     mask = generate_inpaint_mask(pred, th_h=30)
     assert mask[2] == 1 and mask[3] == 1  # low gap inpainted
     assert mask[6] == 0 and mask[7] == 0  # high (out-of-view) gap skipped
+
+
+def test_ball_tracker_mesh_matches_single_device(synthetic_video):
+    """BallTracker(mesh=...) shards the frame axis over the virtual
+    8-device mesh and must reproduce the single-device chunk loop."""
+    from padel_analytics_tpu.parallel.mesh import make_mesh
+    from padel_analytics_tpu.utils.video import VideoInfo, frame_generator
+
+    info = VideoInfo.from_video_path(synthetic_video)
+    cfg = BallTrackerConfig(height=72, width=128, batch_size=4,
+                            median_max_sample_num=8)
+    single = BallTracker(None, None, compute_dtype=jnp.float32, config=cfg)
+    single.video_info_post_init(info)
+    ref = single.predict_frames(frame_generator(synthetic_video),
+                                total_frames=N_FRAMES)
+
+    # 24 frames / 2 devices = 12-frame shards >= the 7-frame halo.
+    sharded = BallTracker(None, None, compute_dtype=jnp.float32, config=cfg,
+                          mesh=make_mesh(data=2, model=1))
+    # identical random init: same PRNG seed in load_variables
+    sharded.video_info_post_init(info)
+    got = sharded.predict_frames(frame_generator(synthetic_video),
+                                 total_frames=N_FRAMES)
+    assert len(got) == len(ref)
+    mismatches = sum(a.serialize() != b.serialize() for a, b in zip(ref, got))
+    # Same f32 math modulo XLA partitioning: positions may flip at decode
+    # thresholds for random-weight heatmaps near 0.5; visibility pattern
+    # and the vast majority of frames must agree.
+    assert mismatches <= max(2, len(ref) // 10)
