@@ -314,19 +314,20 @@ class ProjectedCourt:
     # --- drawing (host-side cv2; projected_court.py:326-387) ----------------
 
     def draw_background_single_frame(self, frame: np.ndarray) -> np.ndarray:
-        shapes = np.zeros_like(frame, np.uint8)
-        cv2.rectangle(
-            shapes,
-            self.background_position.top_left,
-            self.background_position.bottom_right,
-            (255, 255, 255),
-            -1,
-        )
+        """Alpha-blend the minimap's white canvas into the frame.
+
+        Same math as the reference (projected_court.py:326-350: blend the
+        frame with a white rectangle at ALPHA) but computed only on the
+        rectangle ROI — the reference allocates a full-frame mask and runs
+        addWeighted over all 1080p pixels per frame."""
         output = frame.copy()
-        mask = shapes.astype(bool)
-        output[mask] = cv2.addWeighted(
-            output, self.ALPHA, shapes, 1 - self.ALPHA, 0
-        )[mask]
+        (x0, y0) = self.background_position.top_left
+        (x1, y1) = self.background_position.bottom_right
+        roi = output[y0:y1, x0:x1]
+        white = np.full_like(roi, 255)
+        output[y0:y1, x0:x1] = cv2.addWeighted(
+            roi, self.ALPHA, white, 1 - self.ALPHA, 0
+        )
         return output
 
     def draw_projected_court_single_frame(self, frame: np.ndarray) -> np.ndarray:

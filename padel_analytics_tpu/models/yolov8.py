@@ -115,6 +115,42 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+def dfl_decode(
+    box_logits: jnp.ndarray,  # (B, A, 4, REG_MAX)
+    ax: jnp.ndarray,  # (A,) anchor centers in cells (x + 0.5)
+    ay: jnp.ndarray,  # (A,)
+    stride: float,
+) -> jnp.ndarray:
+    """Distribution-focal box decode (ultralytics DFL): per-side softmax
+    expectation over REG_MAX bins -> (l, t, r, b) cell distances ->
+    stride-scaled xyxy."""
+    dist = jnp.sum(
+        jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1)
+        * jnp.arange(box_logits.shape[-1], dtype=jnp.float32),
+        axis=-1,
+    )
+    x1 = (ax[None] - dist[..., 0]) * stride
+    y1 = (ay[None] - dist[..., 1]) * stride
+    x2 = (ax[None] + dist[..., 2]) * stride
+    y2 = (ay[None] + dist[..., 3]) * stride
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def pose_decode(
+    kpt_raw: jnp.ndarray,  # (B, A, K, 3)
+    ax: jnp.ndarray,  # (A,)
+    ay: jnp.ndarray,  # (A,)
+    stride: float,
+) -> jnp.ndarray:
+    """Pose keypoint decode (ultralytics kpts_decode):
+    xy = (pred * 2 + anchor - 0.5) * stride; conf = sigmoid."""
+    kpt_raw = kpt_raw.astype(jnp.float32)
+    kx = (kpt_raw[..., 0] * 2.0 + (ax[None, :, None] - 0.5)) * stride
+    ky = (kpt_raw[..., 1] * 2.0 + (ay[None, :, None] - 0.5)) * stride
+    kc = jax.nn.sigmoid(kpt_raw[..., 2])
+    return jnp.stack([kx, ky, kc], axis=-1)
+
+
 class _HeadBranch(nn.Module):
     """Two 3x3 convs + a 1x1 projection (one detect-head branch)."""
 
@@ -197,29 +233,16 @@ class YOLOv8(nn.Module):
             ax = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5).reshape(-1)
             ay = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5).reshape(-1)
 
-            # DFL decode: softmax expectation over REG_MAX bins per side.
-            box = box.reshape(b, h * w, 4, REG_MAX).astype(jnp.float32)
-            dist = jnp.sum(
-                jax.nn.softmax(box, axis=-1)
-                * jnp.arange(REG_MAX, dtype=jnp.float32),
-                axis=-1,
-            )  # (b, hw, 4) = (l, t, r, b) in cells
-            x1 = (ax[None] - dist[..., 0]) * stride
-            y1 = (ay[None] - dist[..., 1]) * stride
-            x2 = (ax[None] + dist[..., 2]) * stride
-            y2 = (ay[None] + dist[..., 3]) * stride
-            all_boxes.append(jnp.stack([x1, y1, x2, y2], axis=-1))
+            box = box.reshape(b, h * w, 4, REG_MAX)
+            all_boxes.append(dfl_decode(box, ax, ay, stride))
             all_scores.append(
                 jax.nn.sigmoid(cls.reshape(b, h * w, self.num_classes).astype(jnp.float32))
             )
 
             if nk:
                 kpt = _HeadBranch(c4, nk, dtype=dt, name=f"kpt_{i}")(f, train)
-                kpt = kpt.reshape(b, h * w, self.num_keypoints, 3).astype(jnp.float32)
-                kx = (kpt[..., 0] * 2.0 + (ax[None, :, None] - 0.5)) * stride
-                ky = (kpt[..., 1] * 2.0 + (ay[None, :, None] - 0.5)) * stride
-                kc = jax.nn.sigmoid(kpt[..., 2])
-                all_kpts.append(jnp.stack([kx, ky, kc], axis=-1))
+                kpt = kpt.reshape(b, h * w, self.num_keypoints, 3)
+                all_kpts.append(pose_decode(kpt, ax, ay, stride))
 
         out = {
             "boxes": jnp.concatenate(all_boxes, axis=1),

@@ -141,6 +141,7 @@ class KeypointsTracker(Tracker):
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=1,  # one court per frame (reference keeps det 0)
+                top_k=64,
             )
             kpts = jnp.take_along_axis(
                 out["kpts"], jnp.clip(index, 0)[..., None, None], axis=1

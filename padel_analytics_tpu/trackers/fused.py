@@ -115,6 +115,7 @@ class FusedPipeline:
                 conf_thres=conf_d,
                 iou_thres=iou_d,
                 max_det=max_d,
+                top_k=128,
             )
             boxes = lb.boxes_to_source(boxes)
             boxes = jnp.stack(
@@ -167,6 +168,7 @@ class FusedPipeline:
                 conf_thres=conf_p,
                 iou_thres=iou_p,
                 max_det=max_p,
+                top_k=64,
             )
             kpts = jnp.take_along_axis(
                 pose_out["kpts"], jnp.clip(p_idx, 0)[..., None, None], axis=1

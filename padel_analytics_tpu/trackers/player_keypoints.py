@@ -114,6 +114,7 @@ class PlayerKeypointsTracker(Tracker):
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
+                top_k=64,
             )
             # Gather keypoints of kept detections: (B, max_det, 13, 3).
             kpts = jnp.take_along_axis(

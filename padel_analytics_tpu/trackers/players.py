@@ -125,6 +125,7 @@ class PlayerTracker(Tracker):
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
+                top_k=128,
             )
             boxes = lb.boxes_to_source(boxes)
             # ultralytics scale_boxes clips to the source frame.

@@ -298,3 +298,38 @@ def test_yolov8_variant_channel_table():
         128,
         256,
     ]
+
+
+def test_dfl_decode_math():
+    """DFL: delta distribution on bin k decodes to distance k cells."""
+    from padel_analytics_tpu.models.yolov8 import dfl_decode
+
+    a = 2
+    logits = np.full((1, a, 4, 16), -1e9, np.float32)
+    # anchor 0: l=2, t=1, r=3, b=4 cells; anchor 1: all-zero distances
+    for side, k in enumerate([2, 1, 3, 4]):
+        logits[0, 0, side, k] = 1e9
+    logits[0, 1, :, 0] = 1e9
+    ax = jnp.asarray([0.5, 5.5])
+    ay = jnp.asarray([0.5, 3.5])
+    boxes = np.asarray(dfl_decode(jnp.asarray(logits), ax, ay, stride=8.0))
+    np.testing.assert_allclose(
+        boxes[0, 0], [(0.5 - 2) * 8, (0.5 - 1) * 8, (0.5 + 3) * 8, (0.5 + 4) * 8]
+    )
+    np.testing.assert_allclose(boxes[0, 1], [5.5 * 8, 3.5 * 8, 5.5 * 8, 3.5 * 8])
+
+
+def test_pose_decode_math():
+    from padel_analytics_tpu.models.yolov8 import pose_decode
+
+    raw = np.zeros((1, 1, 2, 3), np.float32)
+    raw[0, 0, 0] = [1.0, -0.5, 0.0]  # kpt0
+    raw[0, 0, 1] = [0.0, 0.0, 100.0]  # kpt1: conf saturates to 1
+    ax = jnp.asarray([4.5])
+    ay = jnp.asarray([2.5])
+    out = np.asarray(pose_decode(jnp.asarray(raw), ax, ay, stride=16.0))
+    # x = (p*2 + ax - 0.5) * stride
+    np.testing.assert_allclose(out[0, 0, 0, :2], [(2 + 4) * 16, (-1 + 2) * 16])
+    np.testing.assert_allclose(out[0, 0, 0, 2], 0.5)
+    np.testing.assert_allclose(out[0, 0, 1, :2], [4 * 16, 2 * 16])
+    np.testing.assert_allclose(out[0, 0, 1, 2], 1.0)
