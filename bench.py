@@ -77,7 +77,7 @@ def court_keypoints(w: int, h: int):
     return kp, np.array([pts[0], pts[1], pts[-1], pts[-2]])
 
 
-def build_runner(video_path, out_path, kp, polygon, wh, smoke):
+def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import BallTrackerConfig
@@ -125,7 +125,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke):
         out_path,
         collect_data=True,
         fused=True,
-        fused_chunk=16,
+        fused_chunk=chunk,
     )
 
 
@@ -134,6 +134,7 @@ def main() -> int:
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--per-tracker", action="store_true")
+    parser.add_argument("--chunk", type=int, default=16)
     args = parser.parse_args()
 
     if args.smoke:
@@ -150,7 +151,7 @@ def main() -> int:
 
     import contextlib
 
-    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke)
+    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke, args.chunk)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):

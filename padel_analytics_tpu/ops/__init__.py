@@ -11,6 +11,9 @@ from .nms import batched_nms
 from .heatmap import decode_heatmaps
 from .ensemble import get_ensemble_weight, overlap_ensemble_coefficients
 from .median import median_background
+from .association import ByteTrack
+from .association_scan import associate_clip
+from .pallas_cc import decode_heatmaps_pallas
 
 __all__ = [
     "ResizePlan",
@@ -26,4 +29,7 @@ __all__ = [
     "get_ensemble_weight",
     "overlap_ensemble_coefficients",
     "median_background",
+    "ByteTrack",
+    "associate_clip",
+    "decode_heatmaps_pallas",
 ]
