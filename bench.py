@@ -77,7 +77,7 @@ def court_keypoints(w: int, h: int):
     return kp, np.array([pts[0], pts[1], pts[-1], pts[-2]])
 
 
-def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16):
+def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=0):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import BallTrackerConfig
@@ -126,6 +126,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16):
         collect_data=True,
         fused=True,
         fused_chunk=chunk,
+        fused_staged=staged,
     )
 
 
@@ -135,6 +136,7 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--per-tracker", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
+    parser.add_argument("--staged", type=int, default=0)
     args = parser.parse_args()
 
     if args.smoke:
@@ -151,7 +153,7 @@ def main() -> int:
 
     import contextlib
 
-    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke, args.chunk)
+    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke, args.chunk, args.staged)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):

@@ -60,6 +60,44 @@ from .player_keypoints import PlayerKeypointsTracker
 from .players import PlayerTracker
 
 
+class _FrameWindow:
+    """Bounded streaming view over the decoded frame iterator: only the
+    frames between the last-dropped and the furthest-filled index are
+    resident, so arbitrarily long clips run in O(window) host memory."""
+
+    def __init__(self, initial, it):
+        import collections
+
+        self._win = collections.deque(initial)
+        self._base = 0
+        self._it = it
+        self._exhausted = False
+
+    def fill_to(self, hi: int) -> int:
+        """Ensure frames [base, hi) are resident; returns frames available."""
+        while not self._exhausted and self._base + len(self._win) < hi:
+            nxt = next(self._it, None)
+            if nxt is None:
+                self._exhausted = True
+                break
+            self._win.append(nxt)
+        return self._base + len(self._win)
+
+    def get(self, i: int):
+        return self._win[i - self._base]
+
+    def drop_below(self, i: int) -> None:
+        while self._base < i and self._win:
+            self._win.popleft()
+            self._base += 1
+
+    def first(self):
+        return self._win[0]
+
+    def __len__(self):
+        return len(self._win)
+
+
 class FusedPipeline:
     """Runs players + pose + ball (+ fixed court) trackers in one device
     program per frame chunk."""
@@ -236,6 +274,173 @@ class FusedPipeline:
         return ball_step
 
     # ------------------------------------------------------------------
+    # Staged-scan variants: the whole superchunk of frames is uploaded to
+    # HBM once and a lax.scan over chunks runs ON DEVICE, so a clip
+    # segment costs 1 upload + 3 dispatches + 3 drains TOTAL instead of
+    # that many per chunk. The scan bodies reuse the sub-step closures.
+
+    def _build_scan_steps(self, src_hw: tuple[int, int], num_chunks: int):
+        b = self.chunk
+        det_core = self._build_det_step(src_hw)
+        pose_core = self._build_pose_step(src_hw)
+        ball_core = self._build_ball_step(src_hw)
+
+        def det_scan(det_vars, frames_all):
+            frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
+            _, outs = jax.lax.scan(
+                lambda _, fr: (None, det_core(det_vars, fr)), None, frames_c
+            )
+            return outs  # (num_chunks, B, max_det, 6)
+
+        def pose_scan(pose_vars, frames_all):
+            frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
+            _, outs = jax.lax.scan(
+                lambda _, fr: (None, pose_core(pose_vars, fr)), None, frames_c
+            )
+            return outs
+
+        def ball_scan(tn_vars, frames_all, median_u8, frame_carry, heat_carry,
+                      coef_table, lo0, swap_all):
+            frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
+            swap_c = swap_all.reshape(num_chunks, b)
+            lo_c = lo0 + jnp.arange(num_chunks) * b
+
+            def body(carry, xs):
+                fc, hc = carry
+                fr, lo, sw = xs
+                packed, fc, hc = ball_core(
+                    tn_vars, fr, median_u8, fc, hc, coef_table, lo, sw
+                )
+                return (fc, hc), packed
+
+            (fc, hc), outs = jax.lax.scan(
+                body, (frame_carry, heat_carry), (frames_c, lo_c, swap_c)
+            )
+            return outs, fc, hc
+
+        return det_scan, pose_scan, ball_scan
+
+    def run_staged(
+        self,
+        frame_iter: Iterable[np.ndarray],
+        total_frames: int,
+        superchunk: int = 16,  # chunks per staged dispatch
+    ) -> dict[str, list]:
+        """Like run(), but stages `superchunk * chunk` frames in HBM per
+        dispatch round and scans over chunks on device: 1 upload + 3
+        dispatches + 3 drains per ROUND instead of per chunk. Highest
+        throughput when per-call dispatch overhead dominates (remote /
+        tunneled devices); needs superchunk*chunk*H*W*3 bytes of HBM
+        headroom per round."""
+        b = self.chunk
+        s = superchunk
+        seq_len = self.ball.tracknet_seq_len
+        ball = self.ball
+
+        median_resized, fw, quirk_flags, n, src_hw = self._gather_setup(
+            frame_iter, total_frames
+        )
+
+        key = ("staged", src_hw, b, s)
+        if key not in self._step_cache:
+            det_scan, pose_scan, ball_scan = self._build_scan_steps(src_hw, s)
+            self._step_cache[key] = (
+                jax.jit(det_scan),
+                jax.jit(pose_scan),
+                jax.jit(ball_scan),
+            )
+        det_scan, pose_scan, ball_scan = self._step_cache[key]
+
+        coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
+        n_ext = n + seq_len - 1
+        round_frames = s * b
+        num_rounds = -(-n_ext // round_frames)
+        n_ext_pad = num_rounds * round_frames + b
+        table = np.zeros((n_ext_pad, seq_len), np.float32)
+        table[seq_len - 1 : seq_len - 1 + n] = coef
+        coef_table_dev = jnp.asarray(table)
+        median_dev = jnp.asarray(median_resized)
+        frame_carry = jnp.zeros(
+            (seq_len - 1, ball.HEIGHT, ball.WIDTH, 3), jnp.float32
+        )
+        heat_carry = jnp.zeros(
+            (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
+        )
+
+        from ..io.native import pack_frames
+
+        zero_frame = np.zeros_like(fw.first())
+        det_results, pose_results = [], []
+        ball_x: list[int] = []
+        ball_y: list[int] = []
+        ball_v: list[int] = []
+
+        pending = None
+        for r in range(num_rounds):
+            lo, hi = r * round_frames, (r + 1) * round_frames
+            avail = fw.fill_to(min(hi, n))
+            chunk_frames = [
+                fw.get(i) if i < min(avail, n) else zero_frame
+                for i in range(lo, hi)
+            ]
+            arr = pack_frames(chunk_frames)
+            fw.drop_below(min(hi, n))
+            swap_all = np.zeros(round_frames, np.float32)
+            upto = min(hi, n) - lo
+            if upto > 0:
+                swap_all[:upto] = quirk_flags[lo : lo + upto]
+
+            frames_dev = jnp.asarray(arr)
+            det_packed = det_scan(self.players.engine.variables, frames_dev)
+            pose_packed = pose_scan(self.pose.engine.variables, frames_dev)
+            ball_packed, frame_carry, heat_carry = ball_scan(
+                ball.tracknet.variables,
+                frames_dev,
+                median_dev,
+                frame_carry,
+                heat_carry,
+                coef_table_dev,
+                lo,
+                jnp.asarray(swap_all),
+            )
+            if pending is not None:
+                self._drain_round(pending, n, b, seq_len, det_results,
+                                  pose_results, ball_x, ball_y, ball_v)
+            pending = (lo, det_packed, pose_packed, ball_packed)
+        if pending is not None:
+            self._drain_round(pending, n, b, seq_len, det_results,
+                              pose_results, ball_x, ball_y, ball_v)
+
+        assert len(ball_x) == n, (len(ball_x), n)
+        return self._assemble(det_results, pose_results, ball_x, ball_y,
+                              ball_v, n, src_hw)
+
+    def _drain_round(self, item, n, b, seq_len, det_results, pose_results,
+                     ball_x, ball_y, ball_v):
+        lo, det_packed, pose_packed, ball_packed = item
+        s = det_packed.shape[0]
+        dp = np.asarray(det_packed).reshape(s * b, *det_packed.shape[2:])
+        pp = np.asarray(pose_packed).reshape(s * b, *pose_packed.shape[2:])
+        bp = np.asarray(ball_packed).reshape(s * b, 3)
+        n_real = max(0, min(lo + s * b, n) - lo)
+        if n_real:
+            d = dp[:n_real]
+            det_results.append((d[..., :4], d[..., 4], d[..., 5] > 0.5))
+            p = pp[:n_real]
+            nk = (p.shape[-1] - 1) // 3
+            pose_results.append(
+                (p[..., : 3 * nk].reshape(p.shape[0], p.shape[1], nk, 3),
+                 p[..., 3 * nk] > 0.5)
+            )
+        emit_lo = lo - (seq_len - 1)
+        for j in range(s * b):
+            f = emit_lo + j
+            if 0 <= f < n:
+                ball_x.append(int(bp[j, 0]))
+                ball_y.append(int(bp[j, 1]))
+                ball_v.append(int(bp[j, 2]))
+
+    # ------------------------------------------------------------------
 
     def run(
         self,
@@ -248,61 +453,9 @@ class FusedPipeline:
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
 
-        # --- median estimation over the head of the clip; frames stay RGB
-        # for det/pose, and the reference's channel quirk (the ball path
-        # sees the first median_max_sample_num frames BGR) is applied to
-        # the ball branch ON DEVICE via per-frame flags.
-        #
-        # Frames stream through a bounded window: only the median prefix
-        # plus one in-flight chunk is ever resident, so arbitrarily long
-        # clips run in O(median_range + chunk) host memory.
-        buffered: list[np.ndarray] = []
-        need_median = ball.median is None and ball.bg_mode
-        it = iter(frame_iter)
-        quirk_upto = 0
-        if need_median:
-            for frame in it:
-                buffered.append(frame)
-                if len(buffered) == ball.median_max_sample_num:
-                    break
-            from ..ops.median import median_background
-
-            ball.median = median_background(np.stack(buffered))
-            if ball.channel_quirk:
-                quirk_upto = len(buffered)
-
-        import collections as _collections
-
-        window: _collections.deque[np.ndarray] = _collections.deque(buffered)
-        del buffered
-        window_base = 0  # global index of window[0]
-        exhausted = False
-
-        def fill_to(hi: int) -> int:
-            """Extend the window so frames [window_base, hi) are present;
-            returns the number of real frames available (may be < hi)."""
-            nonlocal exhausted
-            while not exhausted and window_base + len(window) < hi:
-                nxt = next(it, None)
-                if nxt is None:
-                    exhausted = True
-                    break
-                window.append(nxt)
-            return window_base + len(window)
-
-        avail = fill_to(seq_len)
-        if avail < seq_len or not window:
-            raise ValueError("clip shorter than seq_len")
-        n = total_frames  # trusted like the reference; verified at the end
-
-        src_hw = window[0].shape[:2]
-        quirk_flags = np.zeros(n, np.float32)
-        quirk_flags[: min(quirk_upto, n)] = 1.0
-
-        # median resized (reuse ball helper logic)
-        plan = resize_plan(ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic")
-        med = np.asarray(plan.apply(jnp.asarray(ball.median.astype(np.float32))))
-        median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(np.uint8)
+        median_resized, fw, quirk_flags, n, src_hw = self._gather_setup(
+            frame_iter, total_frames
+        )
 
         key = (src_hw, b)
         if key not in self._step_cache:
@@ -338,7 +491,7 @@ class FusedPipeline:
         # (including the tail) is then emitted by the uniform chunk loop —
         # windows touching the zero padding get coefficient 0 from the
         # table, so the padding never contaminates real outputs.
-        zero_frame = np.zeros_like(window[0])
+        zero_frame = np.zeros_like(fw.first())
         n_ext = n + seq_len - 1
         num_chunks = -(-n_ext // b)
 
@@ -371,17 +524,15 @@ class FusedPipeline:
 
         for k in range(num_chunks):
             lo, hi = k * b, min((k + 1) * b, n_ext)
-            avail = fill_to(min(hi, n))
+            avail = fw.fill_to(min(hi, n))
             chunk_frames = [
-                window[i - window_base] if i < min(avail, n) else zero_frame
+                fw.get(i) if i < min(avail, n) else zero_frame
                 for i in range(lo, hi)
             ]
             chunk_frames += [zero_frame] * (b - len(chunk_frames))
             arr = pack_frames(chunk_frames)  # native single-pass pack, RGB
             # Drop frames this chunk consumed (kept until packed).
-            while window_base < min(hi, n) and window:
-                window.popleft()
-                window_base += 1
+            fw.drop_below(min(hi, n))
             swap_chunk = np.zeros(b, np.float32)
             upto = min(hi, n) - lo
             if upto > 0:
@@ -415,8 +566,52 @@ class FusedPipeline:
             drain(pending.popleft())
 
         assert len(ball_x) == n, (len(ball_x), n)
+        return self._assemble(
+            det_results, pose_results, ball_x, ball_y, ball_v, n, src_hw
+        )
 
-        # --- host assembly ---
+    def _gather_setup(self, frame_iter, total_frames):
+        """Median estimation over the head of the clip + streaming frame
+        window. Frames stay RGB for det/pose; the reference's channel
+        quirk (ball path sees the first median_max_sample_num frames BGR,
+        iterable.py:63-64,160) becomes per-frame flags consumed on device
+        by the ball branch."""
+        ball = self.ball
+        buffered: list[np.ndarray] = []
+        need_median = ball.median is None and ball.bg_mode
+        it = iter(frame_iter)
+        quirk_upto = 0
+        if need_median:
+            for frame in it:
+                buffered.append(frame)
+                if len(buffered) == ball.median_max_sample_num:
+                    break
+            from ..ops.median import median_background
+
+            ball.median = median_background(np.stack(buffered))
+            if ball.channel_quirk:
+                quirk_upto = len(buffered)
+
+        fw = _FrameWindow(buffered, it)
+        seq_len = ball.tracknet_seq_len
+        if fw.fill_to(seq_len) < seq_len or not len(fw):
+            raise ValueError("clip shorter than seq_len")
+        n = total_frames  # trusted like the reference
+        src_hw = fw.first().shape[:2]
+        quirk_flags = np.zeros(n, np.float32)
+        quirk_flags[: min(quirk_upto, n)] = 1.0
+
+        plan = resize_plan(
+            ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic"
+        )
+        med = np.asarray(plan.apply(jnp.asarray(ball.median.astype(np.float32))))
+        median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(np.uint8)
+        return median_resized, fw, quirk_flags, n, src_hw
+
+    def _assemble(self, det_results, pose_results, ball_x, ball_y, ball_v,
+                  n, src_hw):
+        """Host-side object assembly (ByteTrack association + result types)."""
+        ball = self.ball
         w_scaler = src_hw[1] / ball.WIDTH
         h_scaler = src_hw[0] / ball.HEIGHT
         pred = {

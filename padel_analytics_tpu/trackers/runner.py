@@ -88,9 +88,11 @@ class TrackingRunner:
         max_cached_frames: int = 4000,
         fused: bool = False,
         fused_chunk: int = 16,
+        fused_staged: int = 0,  # >0: scan this many chunks per dispatch
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
+        self.fused_staged = fused_staged
         self.video_path = video_path
         self.inference_path = inference_path
         self.start = start
@@ -174,7 +176,16 @@ class TrackingRunner:
             court,
             chunk=self.fused_chunk,
         )
-        out = pipeline.run(iter(self.frame_store), total_frames=self.total_frames)
+        if self.fused_staged > 0:
+            out = pipeline.run_staged(
+                iter(self.frame_store),
+                total_frames=self.total_frames,
+                superchunk=self.fused_staged,
+            )
+        else:
+            out = pipeline.run(
+                iter(self.frame_store), total_frames=self.total_frames
+            )
         by_name["players_tracker"].results.load(out["players"])
         by_name["players_keypoints_tracker"].results.load(out["players_keypoints"])
         by_name["ball_tracker"].results.load(out["ball"])

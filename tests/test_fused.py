@@ -172,3 +172,20 @@ def test_fused_rejects_model_court_mode():
                              compute_dtype=jnp.float32, model_variant="n")
     with pytest.raises(ValueError):
         FusedPipeline(players, pose, ball, court)
+
+
+def test_staged_scan_matches_chunked(rng):
+    """run_staged (device scan over chunks) must reproduce run()."""
+    frames = _make_frames(rng)
+    players_a, pose_a, ball_a, court_a = _make_trackers()
+    base = FusedPipeline(players_a, pose_a, ball_a, court_a, chunk=5)
+    out_a = base.run(iter(frames), total_frames=N)
+
+    players_b, pose_b, ball_b, court_b = _make_trackers()
+    staged = FusedPipeline(players_b, pose_b, ball_b, court_b, chunk=5)
+    out_b = staged.run_staged(iter(frames), total_frames=N, superchunk=2)
+
+    for key in ("ball", "players", "players_keypoints"):
+        assert len(out_a[key]) == len(out_b[key]) == N
+        for a, b in zip(out_a[key], out_b[key]):
+            assert a.serialize() == b.serialize(), key
