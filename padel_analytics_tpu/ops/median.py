@@ -18,30 +18,42 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _median_u8(stack: jnp.ndarray) -> jnp.ndarray:
-    """Median over axis 0 of a uint8 stack, truncated to uint8."""
+def _median_x2_u16(stack: jnp.ndarray) -> jnp.ndarray:
+    """Twice the median over axis 0 of a uint8 stack, as uint16.
+
+    Doubling keeps the even-count half-values (np.median averages the two
+    middle elements, which can yield k + 0.5) exactly representable in an
+    integer, so callers can choose truncated-uint8 or exact-float output.
+    """
     n = stack.shape[0]
     s = jnp.sort(stack, axis=0)
     if n % 2 == 1:
-        return s[n // 2]
+        return s[n // 2].astype(jnp.uint16) * 2
     lo = s[n // 2 - 1].astype(jnp.uint16)
     hi = s[n // 2].astype(jnp.uint16)
-    # np.median averages the two middles in float; astype(uint8) truncates,
-    # so the result is floor((lo + hi) / 2).
-    return ((lo + hi) // 2).astype(jnp.uint8)
+    return lo + hi
 
 
 def median_background(
     frames: np.ndarray | jnp.ndarray,
     row_chunk: int = 128,
+    exact: bool = False,
 ) -> np.ndarray:
     """Median image of an (N, H, W, C) uint8 frame stack, computed on
-    device in row chunks to bound sort workspace."""
+    device in row chunks to bound sort workspace.
+
+    exact=False: truncated uint8 (the reference's `median.astype('uint8')`
+    for bg_mode='concat', iterable.py:77-79). exact=True: float32 with
+    np.median semantics (can hold .5 values — what the reference keeps for
+    the subtract modes, iterable.py:83)."""
     frames = np.asarray(frames) if isinstance(frames, np.ndarray) else frames
     n, h, w, c = frames.shape
-    out = np.empty((h, w, c), dtype=np.uint8)
+    out = np.empty((h, w, c), dtype=np.float32 if exact else np.uint8)
     for r0 in range(0, h, row_chunk):
         r1 = min(r0 + row_chunk, h)
         tile = jnp.asarray(np.asarray(frames[:, r0:r1]))
-        out[r0:r1] = np.asarray(_median_u8(tile))
+        x2 = np.asarray(_median_x2_u16(tile))
+        out[r0:r1] = (
+            (x2.astype(np.float32) / 2.0) if exact else (x2 // 2).astype(np.uint8)
+        )
     return out

@@ -29,15 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ensemble import overlap_ensemble_coefficients
 from ..ops.heatmap import decode_heatmaps
+from ..trackers._ballwindow import assemble_windows
 
 
 def sharded_window_inference(
     apply_fn: Callable,  # (frames_f32 (B, H, W, C_in)) -> heatmaps (B, H, W, L)
-    frames: np.ndarray,  # (N, H, W, 3) uint8 RGB, resized to model res
-    median: np.ndarray,  # (H, W, 3) uint8
+    frames: np.ndarray,  # (N, H, W, C_f) uint8 preprocessed frame channels
+    median: np.ndarray,  # (H, W, 3) uint8 resized median ('concat' only)
     mesh: Mesh,
     seq_len: int = 8,
     eval_mode: str = "weight",
+    bg_mode: str = "concat",
 ):
     """Run the full TrackNet window/ensemble/decode pipeline with the frame
     axis sharded over mesh axis 'data'. Returns host (cx, cy, vis) int32
@@ -79,13 +81,9 @@ def sharded_window_inference(
         ext = jnp.concatenate([frames_local, halo], axis=0)  # (shard+L-1, ...)
 
         # ---- window assembly + model ----
-        med = jnp.broadcast_to(
-            median_rep[None].astype(jnp.float32), (shard, h, w, 3)
+        x = assemble_windows(
+            ext.astype(jnp.float32), median_rep, bg_mode, l, shard
         )
-        parts = [med] + [
-            ext[j : j + shard].astype(jnp.float32) for j in range(l)
-        ]
-        x = jnp.concatenate(parts, axis=-1) / 255.0
         y = apply_fn(x)  # (shard, H, W, L)
         y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (shard, L, H, W)
 

@@ -50,6 +50,7 @@ from ..ops.heatmap import decode_heatmaps
 from ..ops.median import median_background
 from ..ops.resize import resize_plan
 from . import _engine
+from ._ballwindow import assemble_windows, frame_channels, make_frame_preprocess
 from .base import NoPredictSample, Tracker
 from .objects import Ball, TrackedObject
 
@@ -146,13 +147,8 @@ class BallTracker(Tracker):
             self.bg_mode = param_dict.get("bg_mode", "concat")
             assert self.tracknet_seq_len == self.TRAJECTORY_LENGTH
             tracking_model_path = None  # already converted
-        if self.bg_mode != "concat":
-            # The reference's shipped checkpoints and config use 'concat'
-            # (ball_tracker.py:403); the other bg_modes' window assembly
-            # (difference images) is not implemented in the device steps.
-            raise NotImplementedError(
-                f"bg_mode={self.bg_mode!r} not supported; only 'concat'"
-            )
+        if self.bg_mode not in ("", "subtract", "subtract_concat", "concat"):
+            raise ValueError(f"unknown bg_mode {self.bg_mode!r}")
         model, in_dim = make_tracknet(
             self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype
         )
@@ -205,12 +201,21 @@ class BallTracker(Tracker):
     # ------------------------------------------------------------------
 
     def _build_resize_step(self, src_hw: tuple[int, int], chunk: int):
-        plan = resize_plan(src_hw, (self.HEIGHT, self.WIDTH), "pil_bicubic")
+        """Per-frame preprocess to the mode's channel group (PIL-parity
+        resize; |frame - median| difference channel for subtract modes)."""
+        pre = make_frame_preprocess(
+            src_hw, (self.HEIGHT, self.WIDTH), self.bg_mode
+        )
 
-        def step(frames_u8):
-            x = plan.apply(frames_u8)
-            # PIL returns uint8 (iterable.py:188): round half up, clamp.
-            return jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(jnp.uint8)
+        if self.bg_mode in ("subtract", "subtract_concat"):
+
+            def step(frames_u8, median_src):
+                return pre(frames_u8, median_src=median_src).astype(jnp.uint8)
+
+        else:
+
+            def step(frames_u8):
+                return pre(frames_u8).astype(jnp.uint8)
 
         return step
 
@@ -226,19 +231,18 @@ class BallTracker(Tracker):
         seq_len = self.tracknet_seq_len
         model = self.tracknet.model
 
+        bg_mode = self.bg_mode
+
         def step(variables, frames_u8, median_u8, frame_carry, carry, coef):
-            # frames_u8: (B, H, W, 3) chunk frames; frame_carry:
-            # (L-1, H, W, 3) trailing frames of the previous chunk; carry:
-            # (L-1, L, H, W) previous window heatmaps; coef: (B, L).
+            # frames_u8: (B, H, W, C_f) preprocessed chunk frames;
+            # frame_carry: (L-1, H, W, C_f) trailing frames of the previous
+            # chunk; carry: (L-1, L, H, W) previous window heatmaps;
+            # coef: (B, L).
             b = frames_u8.shape[0]
             frames_ext = jnp.concatenate(
                 [frame_carry, frames_u8.astype(jnp.float32)], axis=0
-            )  # (B + L - 1, H, W, 3)
-            med = jnp.broadcast_to(
-                median_u8[None], (b,) + median_u8.shape
-            ).astype(jnp.float32)
-            parts = [med] + [frames_ext[j : j + b] for j in range(seq_len)]
-            x = jnp.concatenate(parts, axis=-1) / 255.0  # (b, H, W, 27)
+            )  # (B + L - 1, H, W, C_f)
+            x = assemble_windows(frames_ext, median_u8, bg_mode, seq_len, b)
             y = model.apply(variables, x)  # (b, H, W, L)
             y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (b, L, H, W)
 
@@ -305,6 +309,7 @@ class BallTracker(Tracker):
                 self.mesh,
                 seq_len=seq_len,
                 eval_mode=self.EVAL_MODE,
+                bg_mode=self.bg_mode,
             )
             pred = {
                 "frame": list(range(video_len)),
@@ -335,14 +340,16 @@ class BallTracker(Tracker):
         coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
         chunk = max(self.batch_size, 1)
         window_step = self.tracknet.jit_step(
-            ("window", chunk), lambda: self._build_window_step(chunk)
+            ("window", chunk, self.bg_mode),
+            lambda: self._build_window_step(chunk),
         )
 
         carry = jnp.zeros(
             (seq_len - 1, seq_len, self.HEIGHT, self.WIDTH), jnp.float32
         )
         frame_carry = jnp.zeros(
-            (seq_len - 1, self.HEIGHT, self.WIDTH, 3), jnp.float32
+            (seq_len - 1, self.HEIGHT, self.WIDTH, frame_channels(self.bg_mode)),
+            jnp.float32,
         )
         median_dev = jnp.asarray(median_resized)
         from ..io.native import pack_frames
@@ -417,6 +424,9 @@ class BallTracker(Tracker):
         buffered: list[np.ndarray] = []
         resize_step = None
 
+        subtract_mode = self.bg_mode in ("subtract", "subtract_concat")
+        median_src_dev = None
+
         def flush(frames: list[np.ndarray], swapped: bool):
             nonlocal resize_step
             if not frames:
@@ -425,20 +435,25 @@ class BallTracker(Tracker):
 
             # Reference double-conversion quirk: median-buffer frames
             # reach the net channel-swapped (iterable.py:63-64,160);
-            # the native pack fuses the swap into the copy.
+            # the native pack fuses the swap into the copy. For the
+            # subtract modes the swap precedes the |frame - median|
+            # difference, exactly as in the reference.
             do_swap = swapped and self.channel_quirk
             arr = pack_frames(frames, swap=[do_swap] * len(frames) if do_swap else None)
             src_hw = arr.shape[1:3]
             if resize_step is None:
                 resize_step = self.tracknet.jit_step(
-                    ("resize", src_hw, resize_chunk),
+                    ("resize", src_hw, resize_chunk, self.bg_mode),
                     lambda: self._build_resize_step(src_hw, resize_chunk),
                 )
             for i in range(0, len(arr), resize_chunk):
                 part = arr[i : i + resize_chunk]
                 padded, n_real = _engine.pad_batch(part, resize_chunk)
-                out = np.asarray(resize_step(jnp.asarray(padded)))[:n_real]
-                resized.extend(out)
+                if subtract_mode:
+                    out = resize_step(jnp.asarray(padded), median_src_dev)
+                else:
+                    out = resize_step(jnp.asarray(padded))
+                resized.extend(np.asarray(out)[:n_real])
 
         need_median = self.median is None and self.bg_mode
         if need_median:
@@ -447,7 +462,14 @@ class BallTracker(Tracker):
                 buffered.append(frame)
                 if len(buffered) == self.median_max_sample_num:
                     break
-            self.median = median_background(np.stack(buffered))
+            # Exact float median for the subtract modes (the reference
+            # keeps np.median's float output, iterable.py:83); truncated
+            # uint8 for 'concat' (iterable.py:77-79).
+            self.median = median_background(
+                np.stack(buffered), exact=subtract_mode
+            )
+            if subtract_mode:
+                median_src_dev = jnp.asarray(self.median.astype(np.float32))
             flush(buffered, swapped=True)
             buffered = []
             for frame in gen:
@@ -457,6 +479,12 @@ class BallTracker(Tracker):
                     buffered = []
             flush(buffered, swapped=False)
         else:
+            if subtract_mode:
+                if self.median is None:
+                    raise ValueError(
+                        f"bg_mode={self.bg_mode!r} needs a median background"
+                    )
+                median_src_dev = jnp.asarray(self.median.astype(np.float32))
             for frame in frame_generator:
                 buffered.append(frame)
                 if len(buffered) == resize_chunk:
@@ -464,10 +492,26 @@ class BallTracker(Tracker):
                     buffered = []
             flush(buffered, swapped=False)
 
-        # Median resized to model resolution, uint8 (iterable.py:76-81).
-        plan = resize_plan(self.median.shape[:2], (self.HEIGHT, self.WIDTH), "pil_bicubic")
-        med = np.asarray(plan.apply(jnp.asarray(self.median.astype(np.float32))))
-        self._median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(np.uint8)
+        if self.bg_mode == "concat":
+            # Median resized to model resolution, uint8 (iterable.py:76-81).
+            plan = resize_plan(
+                self.median.shape[:2], (self.HEIGHT, self.WIDTH), "pil_bicubic"
+            )
+            med = np.asarray(
+                plan.apply(
+                    jnp.asarray(
+                        self.median.astype(np.uint8).astype(np.float32)
+                    )
+                )
+            )
+            self._median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(
+                np.uint8
+            )
+        else:
+            # Placeholder for the window-step signature; never consumed.
+            self._median_resized = np.zeros(
+                (self.HEIGHT, self.WIDTH, 3), np.uint8
+            )
         return resized
 
     # ------------------------------------------------------------------

@@ -45,6 +45,7 @@ from ..ops.heatmap import decode_heatmaps
 from ..ops.nms import batched_nms
 from ..ops.polygon import points_in_polygon
 from ..ops.resize import letterbox_plan, resize_plan
+from ._ballwindow import assemble_windows, frame_channels, make_frame_preprocess
 from .ball import BallTracker
 from .court_keypoints import KeypointsTracker
 from .objects import (
@@ -228,36 +229,30 @@ class FusedPipeline:
     def _build_ball_step(self, src_hw: tuple[int, int]):
         b = self.chunk
         seq_len = self.ball.tracknet_seq_len
-        ball_plan = resize_plan(
-            src_hw, (self.ball.HEIGHT, self.ball.WIDTH), "pil_bicubic"
+        bg_mode = self.ball.bg_mode
+        pre = make_frame_preprocess(
+            src_hw, (self.ball.HEIGHT, self.ball.WIDTH), bg_mode
         )
         tracknet = self.ball.tracknet.model
 
         def ball_step(
-            tn_vars, frames_u8, median_u8, frame_carry, heat_carry, coef_table,
-            lo, swap_flags,
+            tn_vars, frames_u8, median_u8, median_src, frame_carry,
+            heat_carry, coef_table, lo, swap_flags,
         ):
             # coef_table lives on device for the whole run; slice this
             # chunk's emitted-frame rows with a scalar start index (rows
             # beyond the table were padded with zeros by the caller).
+            # The reference median-quirk channel swap applies ONLY to the
+            # ball branch, at source resolution BEFORE the difference /
+            # resize; det/pose keep RGB. median_src (source-res float
+            # median) feeds the subtract modes; median_u8 (resized uint8)
+            # feeds 'concat' window assembly.
             coef = jax.lax.dynamic_slice_in_dim(coef_table, lo, b, axis=0)
-            resized = ball_plan.apply(frames_u8)
-            resized = jnp.clip(jnp.floor(resized + 0.5), 0, 255)  # PIL uint8
-            # Reference median-quirk channel swap applied ONLY to the ball
-            # branch (resize is per-channel, so swapping after the resize
-            # equals swapping before it); det/pose keep RGB.
-            resized = jnp.where(
-                swap_flags[:, None, None, None] > 0,
-                resized[..., ::-1],
-                resized,
-            )
+            resized = pre(frames_u8, median_src=median_src, swap=swap_flags)
             frames_ext = jnp.concatenate([frame_carry, resized], axis=0)
-            med = jnp.broadcast_to(
-                median_u8[None].astype(jnp.float32),
-                (b,) + median_u8.shape,
+            x_ball = assemble_windows(
+                frames_ext, median_u8, bg_mode, seq_len, b
             )
-            parts = [med] + [frames_ext[j : j + b] for j in range(seq_len)]
-            x_ball = jnp.concatenate(parts, axis=-1) / 255.0
             y = tracknet.apply(tn_vars, x_ball)
             y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)
 
@@ -299,8 +294,8 @@ class FusedPipeline:
             )
             return outs
 
-        def ball_scan(tn_vars, frames_all, median_u8, frame_carry, heat_carry,
-                      coef_table, lo0, swap_all):
+        def ball_scan(tn_vars, frames_all, median_u8, median_src, frame_carry,
+                      heat_carry, coef_table, lo0, swap_all):
             frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
             swap_c = swap_all.reshape(num_chunks, b)
             lo_c = lo0 + jnp.arange(num_chunks) * b
@@ -309,7 +304,8 @@ class FusedPipeline:
                 fc, hc = carry
                 fr, lo, sw = xs
                 packed, fc, hc = ball_core(
-                    tn_vars, fr, median_u8, fc, hc, coef_table, lo, sw
+                    tn_vars, fr, median_u8, median_src, fc, hc, coef_table,
+                    lo, sw
                 )
                 return (fc, hc), packed
 
@@ -337,11 +333,11 @@ class FusedPipeline:
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
 
-        median_resized, fw, quirk_flags, n, src_hw = self._gather_setup(
-            frame_iter, total_frames
+        median_resized, median_src, fw, quirk_flags, n, src_hw = (
+            self._gather_setup(frame_iter, total_frames)
         )
 
-        key = ("staged", src_hw, b, s)
+        key = ("staged", src_hw, b, s, ball.bg_mode)
         if key not in self._step_cache:
             det_scan, pose_scan, ball_scan = self._build_scan_steps(src_hw, s)
             self._step_cache[key] = (
@@ -360,8 +356,10 @@ class FusedPipeline:
         table[seq_len - 1 : seq_len - 1 + n] = coef
         coef_table_dev = jnp.asarray(table)
         median_dev = jnp.asarray(median_resized)
+        median_src_dev = jnp.asarray(median_src)
         frame_carry = jnp.zeros(
-            (seq_len - 1, ball.HEIGHT, ball.WIDTH, 3), jnp.float32
+            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
+            jnp.float32,
         )
         heat_carry = jnp.zeros(
             (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
@@ -397,6 +395,7 @@ class FusedPipeline:
                 ball.tracknet.variables,
                 frames_dev,
                 median_dev,
+                median_src_dev,
                 frame_carry,
                 heat_carry,
                 coef_table_dev,
@@ -453,11 +452,11 @@ class FusedPipeline:
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
 
-        median_resized, fw, quirk_flags, n, src_hw = self._gather_setup(
-            frame_iter, total_frames
+        median_resized, median_src, fw, quirk_flags, n, src_hw = (
+            self._gather_setup(frame_iter, total_frames)
         )
 
-        key = (src_hw, b)
+        key = (src_hw, b, ball.bg_mode)
         if key not in self._step_cache:
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw)),
@@ -468,12 +467,14 @@ class FusedPipeline:
 
         coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
         frame_carry = jnp.zeros(
-            (seq_len - 1, ball.HEIGHT, ball.WIDTH, 3), jnp.float32
+            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
+            jnp.float32,
         )
         heat_carry = jnp.zeros(
             (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
         )
         median_dev = jnp.asarray(median_resized)
+        median_src_dev = jnp.asarray(median_src)
         # Device-resident coefficient table, padded so chunk k's rows are
         # table[lo : lo + b] (row lo-7+j's coefficients live at index lo+j;
         # out-of-range frames are zero rows).
@@ -549,6 +550,7 @@ class FusedPipeline:
                 ball.tracknet.variables,
                 frames_dev,
                 median_dev,
+                median_src_dev,
                 frame_carry,
                 heat_carry,
                 coef_table_dev,
@@ -577,6 +579,7 @@ class FusedPipeline:
         iterable.py:63-64,160) becomes per-frame flags consumed on device
         by the ball branch."""
         ball = self.ball
+        subtract_mode = ball.bg_mode in ("subtract", "subtract_concat")
         buffered: list[np.ndarray] = []
         need_median = ball.median is None and ball.bg_mode
         it = iter(frame_iter)
@@ -588,9 +591,15 @@ class FusedPipeline:
                     break
             from ..ops.median import median_background
 
-            ball.median = median_background(np.stack(buffered))
+            # Exact float median for subtract modes, truncated uint8 for
+            # 'concat' (reference iterable.py:77-83).
+            ball.median = median_background(
+                np.stack(buffered), exact=subtract_mode
+            )
             if ball.channel_quirk:
                 quirk_upto = len(buffered)
+        elif subtract_mode and ball.median is None:
+            raise ValueError(f"bg_mode={ball.bg_mode!r} needs a median")
 
         fw = _FrameWindow(buffered, it)
         seq_len = ball.tracknet_seq_len
@@ -601,12 +610,28 @@ class FusedPipeline:
         quirk_flags = np.zeros(n, np.float32)
         quirk_flags[: min(quirk_upto, n)] = 1.0
 
-        plan = resize_plan(
-            ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic"
+        if ball.bg_mode == "concat":
+            plan = resize_plan(
+                ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic"
+            )
+            med = np.asarray(
+                plan.apply(
+                    jnp.asarray(ball.median.astype(np.uint8).astype(np.float32))
+                )
+            )
+            median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(
+                np.uint8
+            )
+        else:
+            median_resized = np.zeros((ball.HEIGHT, ball.WIDTH, 3), np.uint8)
+        # Source-resolution float median for the subtract modes' on-device
+        # difference images; tiny placeholder otherwise.
+        median_src = (
+            ball.median.astype(np.float32)
+            if subtract_mode
+            else np.zeros((1, 1, 3), np.float32)
         )
-        med = np.asarray(plan.apply(jnp.asarray(ball.median.astype(np.float32))))
-        median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(np.uint8)
-        return median_resized, fw, quirk_flags, n, src_hw
+        return median_resized, median_src, fw, quirk_flags, n, src_hw
 
     def _assemble(self, det_results, pose_results, ball_x, ball_y, ball_v,
                   n, src_hw):
