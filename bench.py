@@ -134,7 +134,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--frames", type=int, default=None)
-    parser.add_argument("--per-tracker", action="store_true")
+    parser.add_argument("--no-per-tracker", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--staged", type=int, default=0)
     args = parser.parse_args()
@@ -182,39 +182,45 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    # Per-tracker figures (BASELINE.json's per-config metrics): timed
-    # sequential passes at batch 8, stderr only. Opt-in: the sequential
-    # steps compile separately (~minutes), so the default driver run
-    # reports only the end-to-end number.
-    if args.per_tracker and not args.smoke:
-        import contextlib
+    # Per-tracker figures (BASELINE.json's per-config metrics): bounded
+    # timed sequential passes at batch 8 over the head of the clip, folded
+    # into the official JSON artifact. --no-per-tracker skips them.
+    per_tracker = None
+    seq_frames = min(n, 96)
+    if not args.no_per_tracker and not args.smoke:
+        from padel_analytics_tpu.trackers.runner import FrameStore
 
+        tracker_names = list(runner.trackers.keys())
         with contextlib.redirect_stdout(sys.stderr):
             runner.restart()
             runner.fused = False
-            t0 = time.perf_counter()
+            runner.frame_store = FrameStore(video, 0, 1, seq_frames)
+            runner.total_frames = seq_frames
+            print("bench: per-tracker warmup (sequential compiles)...")
+            runner.run()  # warmup: sequential step compiles
+            runner.restart()
+            runner.stage_times.clear()
             runner.run()
-            seq_elapsed = time.perf_counter() - t0
         per_tracker = {
-            name: round(n / t, 2)
+            name: round(seq_frames / t, 2)
             for name, t in runner.stage_times.items()
-            if t > 0
+            if t > 0 and name in tracker_names
         }
         print(
-            f"bench: per-tracker fps (sequential, batch 8): {per_tracker}; "
-            f"sequential end-to-end {n / seq_elapsed:.2f} fps",
+            f"bench: per-tracker fps (sequential, batch 8, "
+            f"{seq_frames} frames): {per_tracker}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / fps_video, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / fps_video, 2),
+    }
+    if per_tracker is not None:
+        record["per_tracker_fps_batch8"] = per_tracker
+        record["per_tracker_frames"] = seq_frames
+    print(json.dumps(record))
     return 0
 
 

@@ -46,6 +46,12 @@ class PlayersTrackerConfig:
     iou: float = 0.7
     imgsz: int = 640
     max_detections: int = 32  # fixed-size padded detection tensor
+    # None = infer from the checkpoint's cls head (stock COCO yolov8m.pt
+    # has 80; the person class is selected before NMS regardless).
+    num_classes: Optional[int] = None
+    # Pre-NMS candidate cap (ultralytics' max_nms is 30000; padel scenes
+    # hold <=4 players so 128 is lossless here — raise for dense scenes).
+    nms_top_k: int = 128
     annotator: str = "rectangle_bounding_box"
     show_confidence: bool = True
     load_path: Optional[str] = None
@@ -66,6 +72,8 @@ class PlayerKeypointsTrackerConfig:
     iou: float = 0.7
     max_detections: int = 8
     num_keypoints: int = 13
+    # Pre-NMS candidate cap (see PlayersTrackerConfig.nms_top_k).
+    nms_top_k: int = 64
     load_path: Optional[str] = None
     save_path: Optional[str] = None
 

@@ -207,9 +207,30 @@ def convert_yolov8_state_dict(
     return convert_state_dict(filtered, yolo_name_map(head_index))
 
 
-def load_torch_checkpoint(path: str):
-    """torch.load with stubbed ultralytics modules so .pt files unpickle
-    without the ultralytics package installed."""
+def load_torch_checkpoint(path: str, allow_pickle: bool = True):
+    """torch.load a .pt checkpoint, safest path first.
+
+    Tries weights_only=True (no arbitrary code execution) before falling
+    back to a full unpickle with stubbed ultralytics modules — ultralytics
+    .pt files pickle whole nn.Module objects, so the fallback is usually
+    needed for them, but plain state_dict/param_dict checkpoints (TrackNet,
+    InpaintNet, resnet) load on the safe path. Pass allow_pickle=False to
+    refuse the fallback for untrusted files (the reference distributes
+    weights via a public Drive link — supply-chain exposure).
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+    return _load_torch_checkpoint_unpickle(path)
+
+
+def _load_torch_checkpoint_unpickle(path: str):
+    """Full torch.load with stubbed ultralytics modules so .pt files
+    unpickle without the ultralytics package installed."""
     import torch
 
     stub_roots = [

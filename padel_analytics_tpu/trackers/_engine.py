@@ -70,8 +70,14 @@ def save_variables(variables, path: str) -> None:
         ckptr.wait_until_finished()
 
 
-def _merge_variables(init_vars, loaded) -> dict:
-    """Overlay converted weights onto an init tree, validating shapes."""
+def _merge_variables(init_vars, loaded, allow_partial: bool = False) -> dict:
+    """Overlay converted weights onto an init tree, validating shapes.
+
+    A checkpoint that covers only part of the model would otherwise run
+    silently with random-init layers producing garbage, so missing keys
+    raise unless the caller explicitly opts into allow_partial=True.
+    """
+    missing: list[str] = []
 
     def merge(a, b, path=""):
         if isinstance(a, dict) or hasattr(a, "items"):
@@ -80,7 +86,7 @@ def _merge_variables(init_vars, loaded) -> dict:
                 if b is not None and k in b:
                     out[k] = merge(a[k], b[k], f"{path}/{k}")
                 else:
-                    print(f"engine: missing converted weight at {path}/{k}; keeping init")
+                    missing.append(f"{path}/{k}")
                     out[k] = a[k]
             extra = set(b or ()) - set(a)
             if extra:
@@ -95,6 +101,15 @@ def _merge_variables(init_vars, loaded) -> dict:
 
     plain = serialization.to_state_dict(init_vars)
     merged = merge(plain, loaded)
+    if missing:
+        if not allow_partial:
+            raise ValueError(
+                f"checkpoint is missing {len(missing)} weight(s): "
+                f"{missing[:8]}{'...' if len(missing) > 8 else ''}; pass "
+                "allow_partial=True to keep random init for them"
+            )
+        for path in missing:
+            print(f"engine: missing converted weight at {path}; keeping init")
     return serialization.from_state_dict(init_vars, merged)
 
 

@@ -110,18 +110,60 @@ class FusedPipeline:
         ball: BallTracker,
         court: Optional[KeypointsTracker] = None,
         chunk: int = 16,
+        ingest: str = "rgb",
     ):
         if court is not None and court.fixed_keypoints_detection is None:
             raise ValueError(
                 "FusedPipeline supports the court tracker in fixed mode; run "
                 "model-based court keypoints separately"
             )
+        if ingest not in ("rgb", "i420"):
+            raise ValueError(f"unknown ingest {ingest!r}")
         self.players = players
         self.pose = pose
         self.ball = ball
         self.court = court
         self.chunk = chunk
+        # 'i420': frames cross the host->device link as packed YUV 4:2:0
+        # planes (1.5 bytes/px vs RGB's 3) and are reconstructed on device
+        # bit-exactly to cv2's I420->RGB (ops/color.py). The link is the
+        # pipeline bottleneck (BENCH.md), so this ~halves ingest wall
+        # clock; the only output deviation vs 'rgb' is the chroma
+        # subsampling round trip (PARITY.md).
+        self.ingest = ingest
         self._step_cache = {}
+
+    def _ingest_decode(self, src_hw: tuple[int, int]):
+        """Jittable raw-chunk -> (B, H, W, 3) float32 RGB decode."""
+        if self.ingest == "i420":
+            from ..ops.color import i420_to_rgb
+
+            h = src_hw[0]
+            return lambda buf: i420_to_rgb(buf, h)
+        return lambda frames: frames.astype(jnp.float32)
+
+    def _check_ingest(self, src_hw: tuple[int, int]) -> None:
+        if self.ingest == "i420" and (src_hw[0] % 2 or src_hw[1] % 2):
+            print(
+                f"fused: {src_hw} has odd dimensions; falling back to rgb "
+                "ingest"
+            )
+            self.ingest = "rgb"
+
+    def _pack_chunk(self, chunk_frames: list[np.ndarray]) -> np.ndarray:
+        """Host-side chunk packing in the ingest's wire format."""
+        from ..io.native import pack_frames
+
+        if self.ingest == "i420":
+            import cv2
+
+            return np.stack(
+                [
+                    cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+                    for f in chunk_frames
+                ]
+            )
+        return pack_frames(chunk_frames)
 
     # ------------------------------------------------------------------
     # Three jitted sub-steps over ONE uploaded frame buffer. A single
@@ -144,9 +186,10 @@ class FusedPipeline:
             self.players.IOU,
             self.players.max_detections,
         )
+        decode = self._ingest_decode(src_hw)
 
-        def det_step(det_vars, frames_u8):
-            x_det = lb.apply(frames_u8) / 255.0
+        def det_step(det_vars, frames_raw):
+            x_det = lb.apply(decode(frames_raw)) / 255.0
             det_out = det_model.apply(det_vars, x_det)
             boxes, det_scores, _, _, det_valid = batched_nms(
                 det_out["boxes"],
@@ -197,9 +240,10 @@ class FusedPipeline:
         )
         pose_rx = w_src / pose_size
         pose_ry = h_src / pose_size
+        decode = self._ingest_decode(src_hw)
 
-        def pose_step(pose_vars, frames_u8):
-            x_pose = pose_plan.apply(frames_u8) / 255.0
+        def pose_step(pose_vars, frames_raw):
+            x_pose = pose_plan.apply(decode(frames_raw)) / 255.0
             pose_out = pose_model.apply(pose_vars, x_pose)
             _, pose_scores, _, p_idx, pose_valid = batched_nms(
                 pose_out["boxes"],
@@ -234,9 +278,10 @@ class FusedPipeline:
             src_hw, (self.ball.HEIGHT, self.ball.WIDTH), bg_mode
         )
         tracknet = self.ball.tracknet.model
+        decode = self._ingest_decode(src_hw)
 
         def ball_step(
-            tn_vars, frames_u8, median_u8, median_src, frame_carry,
+            tn_vars, frames_raw, median_u8, median_src, frame_carry,
             heat_carry, coef_table, lo, swap_flags,
         ):
             # coef_table lives on device for the whole run; slice this
@@ -248,7 +293,7 @@ class FusedPipeline:
             # median) feeds the subtract modes; median_u8 (resized uint8)
             # feeds 'concat' window assembly.
             coef = jax.lax.dynamic_slice_in_dim(coef_table, lo, b, axis=0)
-            resized = pre(frames_u8, median_src=median_src, swap=swap_flags)
+            resized = pre(decode(frames_raw), median_src=median_src, swap=swap_flags)
             frames_ext = jnp.concatenate([frame_carry, resized], axis=0)
             x_ball = assemble_windows(
                 frames_ext, median_u8, bg_mode, seq_len, b
@@ -336,8 +381,9 @@ class FusedPipeline:
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
+        self._check_ingest(src_hw)
 
-        key = ("staged", src_hw, b, s, ball.bg_mode)
+        key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest)
         if key not in self._step_cache:
             det_scan, pose_scan, ball_scan = self._build_scan_steps(src_hw, s)
             self._step_cache[key] = (
@@ -365,8 +411,6 @@ class FusedPipeline:
             (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
         )
 
-        from ..io.native import pack_frames
-
         zero_frame = np.zeros_like(fw.first())
         det_results, pose_results = [], []
         ball_x: list[int] = []
@@ -381,7 +425,7 @@ class FusedPipeline:
                 fw.get(i) if i < min(avail, n) else zero_frame
                 for i in range(lo, hi)
             ]
-            arr = pack_frames(chunk_frames)
+            arr = self._pack_chunk(chunk_frames)
             fw.drop_below(min(hi, n))
             swap_all = np.zeros(round_frames, np.float32)
             upto = min(hi, n) - lo
@@ -455,8 +499,9 @@ class FusedPipeline:
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
+        self._check_ingest(src_hw)
 
-        key = (src_hw, b, ball.bg_mode)
+        key = (src_hw, b, ball.bg_mode, self.ingest)
         if key not in self._step_cache:
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw)),
@@ -521,8 +566,6 @@ class FusedPipeline:
                     ball_y.append(int(bp[j, 1]))
                     ball_v.append(int(bp[j, 2]))
 
-        from ..io.native import pack_frames
-
         for k in range(num_chunks):
             lo, hi = k * b, min((k + 1) * b, n_ext)
             avail = fw.fill_to(min(hi, n))
@@ -531,7 +574,7 @@ class FusedPipeline:
                 for i in range(lo, hi)
             ]
             chunk_frames += [zero_frame] * (b - len(chunk_frames))
-            arr = pack_frames(chunk_frames)  # native single-pass pack, RGB
+            arr = self._pack_chunk(chunk_frames)
             # Drop frames this chunk consumed (kept until packed).
             fw.drop_below(min(hi, n))
             swap_chunk = np.zeros(b, np.float32)

@@ -39,6 +39,10 @@ class PlayerTracker(Tracker):
     CONF = 0.5
     IOU = 0.7
     IMGSZ = 640
+    # Pre-NMS candidate cap: a silent-truncation divergence from
+    # ultralytics' max_nms=30000 on dense scenes; lossless for padel
+    # (<=4 players). Config knob: PlayersTrackerConfig.nms_top_k.
+    nms_top_k = 128
 
     def __init__(
         self,
@@ -52,6 +56,7 @@ class PlayerTracker(Tracker):
         model_variant: str = "m",
         max_detections: int = 32,
         compute_dtype=jnp.bfloat16,
+        num_classes: Optional[int] = None,
         config: Optional[PlayersTrackerConfig] = None,
     ):
         super().__init__(load_path=load_path, save_path=save_path)
@@ -62,9 +67,11 @@ class PlayerTracker(Tracker):
             show_confidence = config.show_confidence
             model_variant = config.model_variant
             max_detections = config.max_detections
+            num_classes = config.num_classes or num_classes
             self.CONF = config.conf
             self.IOU = config.iou
             self.IMGSZ = config.imgsz
+            self.nms_top_k = config.nms_top_k
 
         self.polygon_zone = polygon_zone
         self.batch_size = batch_size
@@ -72,14 +79,43 @@ class PlayerTracker(Tracker):
         self.show_confidence = show_confidence
         self.max_detections = max_detections
 
-        model = YOLOv8(variant=model_variant, num_classes=1, dtype=compute_dtype)
-        example = jnp.zeros((1, self.IMGSZ, self.IMGSZ, 3), jnp.float32)
-        variables = _engine.load_variables(
-            model,
-            example,
-            model_path,
-            convert_fn=lambda p: _load_yolo_pt(p),
+        # The reference's players checkpoint is stock COCO yolov8m.pt (80
+        # classes, filtered to person with classes=[0] at
+        # players_tracker.py:351-359); a custom checkpoint may have any
+        # class count. Infer nc from the checkpoint's cls-projection
+        # out-channels so both load; class 0 is selected before NMS either
+        # way (_build_step below).
+        converted = None
+        import os as _os
+
+        if (
+            model_path
+            and str(model_path).endswith((".pt", ".pth"))
+            and _os.path.exists(str(model_path))
+        ):
+            converted = _load_yolo_pt(str(model_path))
+            ckpt_nc = int(
+                np.asarray(
+                    converted["params"]["cls_0"]["proj"]["kernel"]
+                ).shape[-1]
+            )
+            if num_classes is not None and num_classes != ckpt_nc:
+                raise ValueError(
+                    f"num_classes={num_classes} but checkpoint has {ckpt_nc}"
+                )
+            num_classes = ckpt_nc
+            model_path = None  # already converted
+        if num_classes is None:
+            num_classes = 1
+        self.num_classes = num_classes
+
+        model = YOLOv8(
+            variant=model_variant, num_classes=num_classes, dtype=compute_dtype
         )
+        example = jnp.zeros((1, self.IMGSZ, self.IMGSZ, 3), jnp.float32)
+        variables = _engine.load_variables(model, example, model_path)
+        if converted is not None:
+            variables = _engine._merge_variables(variables, converted)
         self.engine = _engine.Engine(model, variables)
         self.byte_track: Optional[ByteTrack] = None
         self.video_info = None
@@ -125,7 +161,7 @@ class PlayerTracker(Tracker):
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
-                top_k=128,
+                top_k=self.nms_top_k,
             )
             boxes = lb.boxes_to_source(boxes)
             # ultralytics scale_boxes clips to the source frame.

@@ -89,10 +89,12 @@ class TrackingRunner:
         fused: bool = False,
         fused_chunk: int = 16,
         fused_staged: int = 0,  # >0: scan this many chunks per dispatch
+        fused_ingest: str = "i420",  # wire format; 'rgb' for exact cv2 parity
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
         self.fused_staged = fused_staged
+        self.fused_ingest = fused_ingest
         self.video_path = video_path
         self.inference_path = inference_path
         self.start = start
@@ -175,6 +177,7 @@ class TrackingRunner:
             by_name["ball_tracker"],
             court,
             chunk=self.fused_chunk,
+            ingest=self.fused_ingest,
         )
         if self.fused_staged > 0:
             out = pipeline.run_staged(
