@@ -99,6 +99,132 @@ class _FrameWindow:
         return len(self._win)
 
 
+class _ResultBuilder:
+    """Incremental host-side object assembly at drain time.
+
+    ByteTrack association and result-object construction happen chunk by
+    chunk in frame order (identical to end-of-run assembly — association
+    is sequential either way), which enables streaming consumers: when
+    `stream` is set and no InpaintNet pass is pending, newly finalized
+    per-frame objects are pushed as soon as every tracker has produced
+    them (ball lags det/pose by seq_len-1 frames)."""
+
+    def __init__(self, pipeline: "FusedPipeline", n: int, src_hw, stream=None):
+        self.pipeline = pipeline
+        self.n = n
+        ball = pipeline.ball
+        self.w_scaler = src_hw[1] / ball.WIDTH
+        self.h_scaler = src_hw[0] / ball.HEIGHT
+        self.players_objs: list[Players] = []
+        self.pose_objs: list[PlayersKeypoints] = []
+        self.ball_x: list[int] = []
+        self.ball_y: list[int] = []
+        self.ball_v: list[int] = []
+        self.can_stream = ball.inpaintnet is None
+        self.stream = stream if (stream and self.can_stream) else None
+        self._emitted = 0
+
+    def add_det(self, boxes, scores, valid) -> None:
+        """(F, D, 4/1/1) host arrays for F consecutive frames."""
+        byte_track = self.pipeline.players.byte_track
+        for f in range(boxes.shape[0]):
+            keep = valid[f]
+            ids, kept = byte_track.update_with_detections(
+                boxes[f][keep], scores[f][keep]
+            )
+            fb = boxes[f][keep][kept]
+            fs = scores[f][keep][kept]
+            self.players_objs.append(
+                Players(
+                    [
+                        Player(xyxy=fb[i], id=int(ids[i]), class_id=0,
+                               confidence=float(fs[i]))
+                        for i in range(len(ids))
+                    ]
+                )
+            )
+
+    def add_pose(self, kpts_np, valid) -> None:
+        for f in range(kpts_np.shape[0]):
+            players_k = [
+                PlayerKeypoints(
+                    [
+                        PlayerKeypoint(
+                            id=i,
+                            name=PlayerKeypoints.KEYPOINTS_NAMES[i],
+                            xy=(float(kpts_np[f, d, i, 0]),
+                                float(kpts_np[f, d, i, 1])),
+                        )
+                        for i in range(kpts_np.shape[2])
+                    ]
+                )
+                for d in range(kpts_np.shape[1])
+                if valid[f, d]
+            ]
+            self.pose_objs.append(PlayersKeypoints(players_k))
+
+    def add_ball(self, x: int, y: int, v: int) -> None:
+        self.ball_x.append(x)
+        self.ball_y.append(y)
+        self.ball_v.append(v)
+
+    def _ball_obj(self, i: int) -> Ball:
+        # predict.py:204-212 parity: int truncation at both scale steps.
+        x = int(int(self.ball_x[i]) * self.w_scaler)
+        y = int(int(self.ball_y[i]) * self.h_scaler)
+        return Ball(frame=i, xy=(float(x), float(y)),
+                    visibility=int(self.ball_v[i]))
+
+    def maybe_emit(self) -> None:
+        """Push newly finalized frames to the stream callback."""
+        if self.stream is None:
+            return
+        n_ready = min(
+            len(self.players_objs), len(self.pose_objs), len(self.ball_x)
+        )
+        if n_ready <= self._emitted:
+            return
+        lo, hi = self._emitted, n_ready
+        court = self.pipeline.court
+        self.stream(
+            self.players_objs[lo:hi],
+            self.pose_objs[lo:hi],
+            [self._ball_obj(i) for i in range(lo, hi)],
+            [court.fixed_keypoints_detection] * (hi - lo)
+            if court is not None
+            else None,
+        )
+        self._emitted = n_ready
+
+    def finish(self) -> dict[str, list]:
+        ball = self.pipeline.ball
+        assert len(self.ball_x) == self.n, (len(self.ball_x), self.n)
+        pred = {
+            "frame": list(range(self.n)),
+            "x": [int(int(x) * self.w_scaler) for x in self.ball_x],
+            "y": [int(int(y) * self.h_scaler) for y in self.ball_y],
+            "visibility": [int(v) for v in self.ball_v],
+        }
+        if ball.inpaintnet is not None:
+            pred = ball._inpaint_pass(pred, self.n)
+        ball_objs = [
+            Ball(frame=i, xy=(float(pred["x"][i]), float(pred["y"][i])),
+                 visibility=int(pred["visibility"][i]))
+            for i in range(self.n)
+        ]
+        results = {
+            "players": self.players_objs,
+            "players_keypoints": self.pose_objs,
+            "ball": ball_objs,
+        }
+        if self.pipeline.court is not None:
+            results["keypoints"] = [
+                self.pipeline.court.fixed_keypoints_detection
+                for _ in range(self.n)
+            ]
+        return results
+
+
 class FusedPipeline:
     """Runs players + pose + ball (+ fixed court) trackers in one device
     program per frame chunk."""
@@ -366,6 +492,7 @@ class FusedPipeline:
         frame_iter: Iterable[np.ndarray],
         total_frames: int,
         superchunk: int = 16,  # chunks per staged dispatch
+        stream=None,
     ) -> dict[str, list]:
         """Like run(), but stages `superchunk * chunk` frames in HBM per
         dispatch round and scans over chunks on device: 1 upload + 3
@@ -412,10 +539,7 @@ class FusedPipeline:
         )
 
         zero_frame = np.zeros_like(fw.first())
-        det_results, pose_results = [], []
-        ball_x: list[int] = []
-        ball_y: list[int] = []
-        ball_v: list[int] = []
+        builder = _ResultBuilder(self, n, src_hw, stream)
 
         pending = None
         for r in range(num_rounds):
@@ -447,19 +571,14 @@ class FusedPipeline:
                 jnp.asarray(swap_all),
             )
             if pending is not None:
-                self._drain_round(pending, n, b, seq_len, det_results,
-                                  pose_results, ball_x, ball_y, ball_v)
+                self._drain_round(pending, builder, n, b, seq_len)
             pending = (lo, det_packed, pose_packed, ball_packed)
         if pending is not None:
-            self._drain_round(pending, n, b, seq_len, det_results,
-                              pose_results, ball_x, ball_y, ball_v)
+            self._drain_round(pending, builder, n, b, seq_len)
 
-        assert len(ball_x) == n, (len(ball_x), n)
-        return self._assemble(det_results, pose_results, ball_x, ball_y,
-                              ball_v, n, src_hw)
+        return builder.finish()
 
-    def _drain_round(self, item, n, b, seq_len, det_results, pose_results,
-                     ball_x, ball_y, ball_v):
+    def _drain_round(self, item, builder: _ResultBuilder, n, b, seq_len):
         lo, det_packed, pose_packed, ball_packed = item
         s = det_packed.shape[0]
         dp = np.asarray(det_packed).reshape(s * b, *det_packed.shape[2:])
@@ -468,20 +587,19 @@ class FusedPipeline:
         n_real = max(0, min(lo + s * b, n) - lo)
         if n_real:
             d = dp[:n_real]
-            det_results.append((d[..., :4], d[..., 4], d[..., 5] > 0.5))
+            builder.add_det(d[..., :4], d[..., 4], d[..., 5] > 0.5)
             p = pp[:n_real]
             nk = (p.shape[-1] - 1) // 3
-            pose_results.append(
-                (p[..., : 3 * nk].reshape(p.shape[0], p.shape[1], nk, 3),
-                 p[..., 3 * nk] > 0.5)
+            builder.add_pose(
+                p[..., : 3 * nk].reshape(p.shape[0], p.shape[1], nk, 3),
+                p[..., 3 * nk] > 0.5,
             )
         emit_lo = lo - (seq_len - 1)
         for j in range(s * b):
             f = emit_lo + j
             if 0 <= f < n:
-                ball_x.append(int(bp[j, 0]))
-                ball_y.append(int(bp[j, 1]))
-                ball_v.append(int(bp[j, 2]))
+                builder.add_ball(int(bp[j, 0]), int(bp[j, 1]), int(bp[j, 2]))
+        builder.maybe_emit()
 
     # ------------------------------------------------------------------
 
@@ -489,9 +607,15 @@ class FusedPipeline:
         self,
         frame_iter: Iterable[np.ndarray],
         total_frames: int,
+        stream=None,
     ) -> dict[str, list]:
         """Consume RGB uint8 frames; returns per-tracker prediction lists
-        keyed 'players', 'players_keypoints', 'ball', 'keypoints'."""
+        keyed 'players', 'players_keypoints', 'ball', 'keypoints'.
+
+        stream: optional callback(players_new, pose_new, ball_new,
+        court_new) invoked in frame order as results finalize (only when
+        no InpaintNet pass is pending) — lets the caller render/collect
+        concurrently with inference."""
         b = self.chunk
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
@@ -528,11 +652,6 @@ class FusedPipeline:
         table[seq_len - 1 : seq_len - 1 + n] = coef
         coef_table_dev = jnp.asarray(table)
 
-        det_results, pose_results = [], []
-        ball_x: list[int] = []
-        ball_y: list[int] = []
-        ball_v: list[int] = []
-
         # Zero-extend the clip by seq_len-1 frames: every output frame
         # (including the tail) is then emitted by the uniform chunk loop —
         # windows touching the zero padding get coefficient 0 from the
@@ -540,6 +659,7 @@ class FusedPipeline:
         zero_frame = np.zeros_like(fw.first())
         n_ext = n + seq_len - 1
         num_chunks = -(-n_ext // b)
+        builder = _ResultBuilder(self, n, src_hw, stream)
 
         import collections
 
@@ -549,22 +669,19 @@ class FusedPipeline:
             emit_lo, n_real_frames, det_packed, pose_packed, ball_packed = item
             if n_real_frames:
                 dp = np.asarray(det_packed)[:n_real_frames]
-                det_results.append((dp[..., :4], dp[..., 4], dp[..., 5] > 0.5))
+                builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
                 pp = np.asarray(pose_packed)[:n_real_frames]
                 nk = (pp.shape[-1] - 1) // 3
-                pose_results.append(
-                    (
-                        pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
-                        pp[..., 3 * nk] > 0.5,
-                    )
+                builder.add_pose(
+                    pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
+                    pp[..., 3 * nk] > 0.5,
                 )
             bp = np.asarray(ball_packed)
             for j in range(b):
                 f = emit_lo + j
                 if 0 <= f < n:
-                    ball_x.append(int(bp[j, 0]))
-                    ball_y.append(int(bp[j, 1]))
-                    ball_v.append(int(bp[j, 2]))
+                    builder.add_ball(int(bp[j, 0]), int(bp[j, 1]), int(bp[j, 2]))
+            builder.maybe_emit()
 
         for k in range(num_chunks):
             lo, hi = k * b, min((k + 1) * b, n_ext)
@@ -610,10 +727,7 @@ class FusedPipeline:
         while pending:
             drain(pending.popleft())
 
-        assert len(ball_x) == n, (len(ball_x), n)
-        return self._assemble(
-            det_results, pose_results, ball_x, ball_y, ball_v, n, src_hw
-        )
+        return builder.finish()
 
     def _gather_setup(self, frame_iter, total_frames):
         """Median estimation over the head of the clip + streaming frame
@@ -675,73 +789,3 @@ class FusedPipeline:
             else np.zeros((1, 1, 3), np.float32)
         )
         return median_resized, median_src, fw, quirk_flags, n, src_hw
-
-    def _assemble(self, det_results, pose_results, ball_x, ball_y, ball_v,
-                  n, src_hw):
-        """Host-side object assembly (ByteTrack association + result types)."""
-        ball = self.ball
-        w_scaler = src_hw[1] / ball.WIDTH
-        h_scaler = src_hw[0] / ball.HEIGHT
-        pred = {
-            "frame": list(range(n)),
-            "x": [int(int(x) * w_scaler) for x in ball_x],
-            "y": [int(int(y) * h_scaler) for y in ball_y],
-            "visibility": [int(v) for v in ball_v],
-        }
-        if ball.inpaintnet is not None:
-            pred = ball._inpaint_pass(pred, n)
-        ball_objs = [
-            Ball(frame=i, xy=(float(pred["x"][i]), float(pred["y"][i])),
-                 visibility=int(pred["visibility"][i]))
-            for i in range(n)
-        ]
-
-        players_objs = []
-        for boxes, scores, valid in det_results:
-            for f in range(boxes.shape[0]):
-                keep = valid[f]
-                ids, kept = self.players.byte_track.update_with_detections(
-                    boxes[f][keep], scores[f][keep]
-                )
-                fb = boxes[f][keep][kept]
-                fs = scores[f][keep][kept]
-                players_objs.append(
-                    Players(
-                        [
-                            Player(xyxy=fb[i], id=int(ids[i]), class_id=0,
-                                   confidence=float(fs[i]))
-                            for i in range(len(ids))
-                        ]
-                    )
-                )
-
-        pose_objs = []
-        for kpts_np, valid in pose_results:
-            for f in range(kpts_np.shape[0]):
-                players_k = [
-                    PlayerKeypoints(
-                        [
-                            PlayerKeypoint(
-                                id=i,
-                                name=PlayerKeypoints.KEYPOINTS_NAMES[i],
-                                xy=(float(kpts_np[f, d, i, 0]),
-                                    float(kpts_np[f, d, i, 1])),
-                            )
-                            for i in range(kpts_np.shape[2])
-                        ]
-                    )
-                    for d in range(kpts_np.shape[1])
-                    if valid[f, d]
-                ]
-                pose_objs.append(PlayersKeypoints(players_k))
-
-        results = {
-            "players": players_objs,
-            "players_keypoints": pose_objs,
-            "ball": ball_objs,
-        }
-        if self.court is not None:
-            results["keypoints"] = [
-                self.court.fixed_keypoints_detection for _ in range(n)
-            ]
-        return results

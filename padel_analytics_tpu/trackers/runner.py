@@ -74,6 +74,80 @@ class FrameStore:
             self._frames = frames
 
 
+class _StreamingDrawer:
+    """Draw/collect pass running concurrently with fused inference.
+
+    The fused drain loop appends finalized per-frame objects to the
+    trackers' result lists in frame order and calls notify(n_ready); this
+    worker draws frame i once i < ready. It decodes the video with its own
+    uncached FrameStore, so the two decodes never race; cv2/numpy work
+    releases the GIL and hides under the (bottleneck) host->device
+    uploads — the draw pass costs ~zero wall clock (BENCH.md).
+    """
+
+    def __init__(self, runner: "TrackingRunner"):
+        import threading
+
+        self.runner = runner
+        self._cond = threading.Condition()
+        self._ready = 0
+        self._done = False
+        self.exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def notify(self, n_ready: int) -> None:
+        with self._cond:
+            if n_ready > self._ready:
+                self._ready = n_ready
+                self._cond.notify_all()
+
+    def finish(self) -> None:
+        """Signal end of results, join, re-raise any worker exception."""
+        with self._cond:
+            self._done = True
+            self._cond.notify_all()
+        self._thread.join()
+        if self.exc is not None:
+            raise self.exc
+
+    def abort(self) -> None:
+        """finish() that never raises (for error paths)."""
+        try:
+            self.finish()
+        except BaseException:
+            pass
+
+    def _run(self) -> None:
+        r = self.runner
+        try:
+            print(
+                f"runner: Writing results into {str(r.inference_path)} "
+                "(streaming)"
+            )
+            t0 = timeit.default_timer()
+            writer = VideoWriter(
+                r.inference_path,
+                fps=float(r.video_info.fps),
+                resolution_wh=r.video_info.resolution_wh,
+            )
+            store = FrameStore(
+                r.video_path, r.start, r.stride, r.end, max_cached_frames=0
+            )
+            for frame_index, frame in enumerate(store):
+                if frame_index >= r.total_frames:
+                    break
+                with self._cond:
+                    while self._ready <= frame_index and not self._done:
+                        self._cond.wait()
+                    if self._ready <= frame_index:
+                        break  # done and no result for this frame
+                r._draw_one(writer, frame_index, frame)
+            r._finish_draw(writer, t0)
+        except BaseException as e:  # surfaced by finish()
+            self.exc = e
+
+
 class TrackingRunner:
     """Runs a sequence of trackers over a video, then renders + collects."""
 
@@ -90,11 +164,17 @@ class TrackingRunner:
         fused_chunk: int = 16,
         fused_staged: int = 0,  # >0: scan this many chunks per dispatch
         fused_ingest: str = "i420",  # wire format; 'rgb' for exact cv2 parity
+        # Draw concurrently with inference. A win when host cores are
+        # plentiful; on single-core hosts the drawer contends with the
+        # upload path's own CPU cost (serialization/compression) and SLOWS
+        # the run ~30% (BENCH.md), hence off by default.
+        fused_stream_draw: bool = False,
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
         self.fused_staged = fused_staged
         self.fused_ingest = fused_ingest
+        self.fused_stream_draw = fused_stream_draw
         self.video_path = video_path
         self.inference_path = inference_path
         self.start = start
@@ -136,7 +216,8 @@ class TrackingRunner:
         then the draw/collect pass."""
         print(f"runner: Running {self.total_frames} frames")
         if self.fused and self._try_fused_run():
-            self.draw_and_collect_data()
+            if not self._fused_drew:
+                self.draw_and_collect_data()
             return
         for tracker in self.trackers.values():
             if len(tracker) != 0:
@@ -179,26 +260,115 @@ class TrackingRunner:
             chunk=self.fused_chunk,
             ingest=self.fused_ingest,
         )
-        if self.fused_staged > 0:
-            out = pipeline.run_staged(
-                iter(self.frame_store),
-                total_frames=self.total_frames,
-                superchunk=self.fused_staged,
-            )
-        else:
-            out = pipeline.run(
-                iter(self.frame_store), total_frames=self.total_frames
-            )
+
+        # Streaming draw: render/collect concurrently with inference (host
+        # work hides under the bottleneck uploads). Needs the court results
+        # available from frame 0 and no pending InpaintNet pass.
+        ball_tracker = by_name["ball_tracker"]
+        drawer = None
+        stream_cb = None
+        self._fused_drew = False
+        court_was_empty = court is not None and len(court) == 0
+        if self.fused_stream_draw and ball_tracker.inpaintnet is None:
+            drawer = _StreamingDrawer(self)
+            players_res = by_name["players_tracker"].results
+            pose_res = by_name["players_keypoints_tracker"].results
+
+            def stream_cb(p_new, k_new, b_new, c_new):
+                players_res.predictions += p_new
+                pose_res.predictions += k_new
+                ball_tracker.results.predictions += b_new
+                if court_was_empty and c_new is not None:
+                    court.results.predictions += c_new
+                drawer.notify(len(ball_tracker.results.predictions))
+
+        try:
+            if self.fused_staged > 0:
+                out = pipeline.run_staged(
+                    iter(self.frame_store),
+                    total_frames=self.total_frames,
+                    superchunk=self.fused_staged,
+                    stream=stream_cb,
+                )
+            else:
+                out = pipeline.run(
+                    iter(self.frame_store),
+                    total_frames=self.total_frames,
+                    stream=stream_cb,
+                )
+        except BaseException:
+            if drawer is not None:
+                drawer.abort()
+            raise
         by_name["players_tracker"].results.load(out["players"])
         by_name["players_keypoints_tracker"].results.load(out["players_keypoints"])
         by_name["ball_tracker"].results.load(out["ball"])
-        if court is not None and len(court) == 0:
+        if court is not None and court_was_empty:
             court.results.load(out["keypoints"])
+        if drawer is not None:
+            drawer.finish()
+            self._fused_drew = True
         self.stage_times["fused_inference"] = timeit.default_timer() - t0
         print(f"runner: fused inference {self.stage_times['fused_inference']:.2f}s")
         for name in needed:
             by_name[name].save_predictions()
         return True
+
+    def _draw_one(self, writer, frame_index: int, frame: np.ndarray) -> None:
+        """Render + collect one frame (the body of the reference's draw
+        loop, runner.py:114-162)."""
+        # Copy: the store may be serving its RAM cache, and drawing
+        # must never mutate the cached frames (re-runs would then
+        # re-infer on annotated images).
+        frame_rgb = np.ascontiguousarray(frame).copy()
+        cv2.putText(
+            frame_rgb,
+            f"Frame: {frame_index + 1}",
+            (20, 50),
+            cv2.FONT_HERSHEY_SIMPLEX,
+            1,
+            (255, 255, 0),
+            1,
+        )
+
+        players_detection = None
+        ball_detection = None
+        keypoints_detection = None
+        for tracker in self.trackers.values():
+            try:
+                prediction = tracker.results[frame_index]
+            except IndexError:
+                print(f"runner: {tracker} missing frame {frame_index}")
+                raise
+            frame_rgb = prediction.draw(frame_rgb, **tracker.draw_kwargs())
+            if tracker.object() == Players:
+                players_detection = deepcopy(prediction)
+            elif tracker.object() == Ball:
+                ball_detection = deepcopy(prediction)
+            elif tracker.object() == Keypoints:
+                keypoints_detection = deepcopy(prediction)
+
+        output_frame, self.data_analytics = (
+            self.projected_court.draw_projections_and_collect_data(
+                frame_rgb,
+                keypoints_detection=keypoints_detection,
+                players_detection=players_detection,
+                ball_detection=ball_detection,
+                data_analytics=self.data_analytics,
+                is_fixed_keypoints=self.is_fixed_keypoints,
+            )
+        )
+        if self.data_analytics is not None:
+            self.data_analytics.step(1)
+        writer.write(output_frame)
+
+    def _finish_draw(self, writer, t0: float) -> None:
+        writer.release()
+        if self.data_analytics is not None:
+            # Parity with runner.py:166-167: one extra trailing frame entry.
+            self.data_analytics.frames = self.data_analytics.frames[:-1]
+        self.stage_times["draw_and_collect"] = timeit.default_timer() - t0
+        print("runner: Done.")
 
     def draw_and_collect_data(self) -> None:
         """Render annotated video + minimap projections; collect analytics
@@ -210,56 +380,6 @@ class TrackingRunner:
             fps=float(self.video_info.fps),
             resolution_wh=self.video_info.resolution_wh,
         )
-
         for frame_index, frame in enumerate(self.frame_store):
-            # Copy: the store may be serving its RAM cache, and drawing
-            # must never mutate the cached frames (re-runs would then
-            # re-infer on annotated images).
-            frame_rgb = np.ascontiguousarray(frame).copy()
-            cv2.putText(
-                frame_rgb,
-                f"Frame: {frame_index + 1}",
-                (20, 50),
-                cv2.FONT_HERSHEY_SIMPLEX,
-                1,
-                (255, 255, 0),
-                1,
-            )
-
-            players_detection = None
-            ball_detection = None
-            keypoints_detection = None
-            for tracker in self.trackers.values():
-                try:
-                    prediction = tracker.results[frame_index]
-                except IndexError:
-                    print(f"runner: {tracker} missing frame {frame_index}")
-                    raise
-                frame_rgb = prediction.draw(frame_rgb, **tracker.draw_kwargs())
-                if tracker.object() == Players:
-                    players_detection = deepcopy(prediction)
-                elif tracker.object() == Ball:
-                    ball_detection = deepcopy(prediction)
-                elif tracker.object() == Keypoints:
-                    keypoints_detection = deepcopy(prediction)
-
-            output_frame, self.data_analytics = (
-                self.projected_court.draw_projections_and_collect_data(
-                    frame_rgb,
-                    keypoints_detection=keypoints_detection,
-                    players_detection=players_detection,
-                    ball_detection=ball_detection,
-                    data_analytics=self.data_analytics,
-                    is_fixed_keypoints=self.is_fixed_keypoints,
-                )
-            )
-            if self.data_analytics is not None:
-                self.data_analytics.step(1)
-            writer.write(output_frame)
-
-        writer.release()
-        if self.data_analytics is not None:
-            # Parity with runner.py:166-167: one extra trailing frame entry.
-            self.data_analytics.frames = self.data_analytics.frames[:-1]
-        self.stage_times["draw_and_collect"] = timeit.default_timer() - t0
-        print("runner: Done.")
+            self._draw_one(writer, frame_index, frame)
+        self._finish_draw(writer, t0)
