@@ -729,6 +729,138 @@ class FusedPipeline:
 
         return builder.finish()
 
+    # ------------------------------------------------------------------
+
+    def run_mesh(
+        self,
+        frame_iter: Iterable[np.ndarray],
+        total_frames: int,
+        mesh,
+    ) -> dict[str, list]:
+        """Multi-chip fused run over a ('data', ...) jax.sharding.Mesh.
+
+        det/pose shard the frame axis via GSPMD: each dispatch takes a
+        block of d*chunk frames placed with NamedSharding(P('data'))
+        (weights replicated), so the batch splits across chips with no
+        collectives — inference is embarrassingly parallel over frames.
+        The ball branch preprocesses frames inside the same sharded block
+        step (resize/diff at 288x512 is ~0.4 MB/frame to drain) and
+        finishes with ONE context-parallel window-inference pass over the
+        whole clip: frame axis sharded with seq_len-1 halo exchange via
+        ring ppermute over ICI (parallel/sharded_inference.py).
+
+        Ball output is bit-equal to the single-device run(); det/pose
+        agree to float tolerance (GSPMD batch-sharded convolutions round
+        differently at the ULP level) — tests/test_fused_mesh.py. The
+        reference has no parallel mode at all (SURVEY.md §2c) — this is
+        the v5e-8 deployment path.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded_inference import sharded_window_inference
+
+        d = mesh.shape["data"]
+        ball = self.ball
+        seq_len = ball.tracknet_seq_len
+        b = self.chunk * d  # frames per sharded block
+
+        median_resized, median_src, fw, quirk_flags, n, src_hw = (
+            self._gather_setup(frame_iter, total_frames)
+        )
+        self._check_ingest(src_hw)
+        if n < seq_len or -(-n // d) < seq_len - 1:
+            raise ValueError(
+                f"clip ({n} frames) too short for {d}-way frame sharding"
+            )
+
+        key = ("mesh", src_hw, b, ball.bg_mode, self.ingest, id(mesh))
+        if key not in self._step_cache:
+            pre = make_frame_preprocess(
+                src_hw, (ball.HEIGHT, ball.WIDTH), ball.bg_mode
+            )
+            decode = self._ingest_decode(src_hw)
+
+            def ball_pre_step(frames_raw, median_src_dev, swap):
+                out = pre(decode(frames_raw), median_src=median_src_dev,
+                          swap=swap)
+                return out.astype(jnp.uint8)
+
+            shard = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._step_cache[key] = (
+                jax.jit(self._build_det_step(src_hw), in_shardings=(rep, shard)),
+                jax.jit(self._build_pose_step(src_hw), in_shardings=(rep, shard)),
+                jax.jit(ball_pre_step, in_shardings=(shard, rep, shard)),
+                shard,
+                rep,
+            )
+        det_step, pose_step, ball_pre_step, shard, rep = self._step_cache[key]
+
+        builder = _ResultBuilder(self, n, src_hw, None)
+        median_src_dev = jax.device_put(median_src, rep)
+        zero_frame = np.zeros_like(fw.first())
+        pre_frames: list[np.ndarray] = []
+
+        num_blocks = -(-n // b)
+        pending = None
+        for k in range(num_blocks):
+            lo, hi = k * b, min((k + 1) * b, n)
+            avail = fw.fill_to(hi)
+            frames = [
+                fw.get(i) if i < min(avail, n) else zero_frame
+                for i in range(lo, lo + b)
+            ]
+            arr = self._pack_chunk(frames)
+            fw.drop_below(hi)
+            swap = np.zeros(b, np.float32)
+            swap[: hi - lo] = quirk_flags[lo:hi]
+            frames_dev = jax.device_put(arr, shard)
+            swap_dev = jax.device_put(swap, shard)
+            det_packed = det_step(self.players.engine.variables, frames_dev)
+            pose_packed = pose_step(self.pose.engine.variables, frames_dev)
+            pre_packed = ball_pre_step(frames_dev, median_src_dev, swap_dev)
+            if pending is not None:
+                self._drain_block(pending, builder, n, pre_frames)
+            pending = (lo, det_packed, pose_packed, pre_packed)
+        if pending is not None:
+            self._drain_block(pending, builder, n, pre_frames)
+
+        # ---- ball: one halo-exchange pass over the preprocessed clip ----
+        engine = ball.tracknet
+
+        def apply_fn(x):
+            return engine.model.apply(engine.variables, x)
+
+        cx, cy, vis = sharded_window_inference(
+            apply_fn,
+            np.stack(pre_frames),
+            median_resized,
+            mesh,
+            seq_len=seq_len,
+            eval_mode=ball.EVAL_MODE,
+            bg_mode=ball.bg_mode,
+        )
+        for i in range(n):
+            builder.add_ball(int(cx[i]), int(cy[i]), int(vis[i]))
+        return builder.finish()
+
+    def _drain_block(self, item, builder: _ResultBuilder, n, pre_frames):
+        lo, det_packed, pose_packed, pre_packed = item
+        n_real = max(0, min(lo + det_packed.shape[0], n) - lo)
+        if not n_real:
+            return
+        dp = np.asarray(det_packed)[:n_real]
+        builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
+        pp = np.asarray(pose_packed)[:n_real]
+        nk = (pp.shape[-1] - 1) // 3
+        builder.add_pose(
+            pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
+            pp[..., 3 * nk] > 0.5,
+        )
+        pre_frames.extend(np.asarray(pre_packed)[:n_real])
+
+    # ------------------------------------------------------------------
+
     def _gather_setup(self, frame_iter, total_frames):
         """Median estimation over the head of the clip + streaming frame
         window. Frames stay RGB for det/pose; the reference's channel
