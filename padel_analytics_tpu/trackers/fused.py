@@ -50,6 +50,7 @@ from .ball import BallTracker
 from .court_keypoints import KeypointsTracker
 from .objects import (
     Ball,
+    Keypoint,
     Keypoints,
     Player,
     PlayerKeypoint,
@@ -117,6 +118,7 @@ class _ResultBuilder:
         self.h_scaler = src_hw[0] / ball.HEIGHT
         self.players_objs: list[Players] = []
         self.pose_objs: list[PlayersKeypoints] = []
+        self.court_objs: list[Keypoints] = []
         self.ball_x: list[int] = []
         self.ball_y: list[int] = []
         self.ball_v: list[int] = []
@@ -168,6 +170,31 @@ class _ResultBuilder:
         self.ball_y.append(y)
         self.ball_v.append(v)
 
+    def add_court(self, packed) -> None:
+        """(F, 25) packed court buffers: 24 flat (x, y) + validity."""
+        from .court_keypoints import POINTS_MAPPER
+
+        yolo = self.pipeline.court_mode == "yolo"
+        nk = (packed.shape[-1] - 1) // 2
+        for f in range(packed.shape[0]):
+            if yolo and packed[f, -1] <= 0.5:
+                # No court cleared conf: empty (falsy) Keypoints so the
+                # projection pass clears H (projected_court.py:644-647).
+                self.court_objs.append(Keypoints([]))
+                continue
+            self.court_objs.append(
+                Keypoints(
+                    [
+                        Keypoint(
+                            id=POINTS_MAPPER[i] if yolo else i,
+                            xy=(float(packed[f, 2 * i]),
+                                float(packed[f, 2 * i + 1])),
+                        )
+                        for i in range(nk)
+                    ]
+                )
+            )
+
     def _ball_obj(self, i: int) -> Ball:
         # predict.py:204-212 parity: int truncation at both scale steps.
         x = int(int(self.ball_x[i]) * self.w_scaler)
@@ -182,17 +209,24 @@ class _ResultBuilder:
         n_ready = min(
             len(self.players_objs), len(self.pose_objs), len(self.ball_x)
         )
+        mode = self.pipeline.court_mode
+        if mode in ("yolo", "resnet"):
+            n_ready = min(n_ready, len(self.court_objs))
         if n_ready <= self._emitted:
             return
         lo, hi = self._emitted, n_ready
         court = self.pipeline.court
+        if mode in ("yolo", "resnet"):
+            court_slice = self.court_objs[lo:hi]
+        elif court is not None:
+            court_slice = [court.fixed_keypoints_detection] * (hi - lo)
+        else:
+            court_slice = None
         self.stream(
             self.players_objs[lo:hi],
             self.pose_objs[lo:hi],
             [self._ball_obj(i) for i in range(lo, hi)],
-            [court.fixed_keypoints_detection] * (hi - lo)
-            if court is not None
-            else None,
+            court_slice,
         )
         self._emitted = n_ready
 
@@ -217,7 +251,10 @@ class _ResultBuilder:
             "players_keypoints": self.pose_objs,
             "ball": ball_objs,
         }
-        if self.pipeline.court is not None:
+        if self.pipeline.court_mode in ("yolo", "resnet"):
+            assert len(self.court_objs) == self.n
+            results["keypoints"] = self.court_objs
+        elif self.pipeline.court is not None:
             results["keypoints"] = [
                 self.pipeline.court.fixed_keypoints_detection
                 for _ in range(self.n)
@@ -238,17 +275,23 @@ class FusedPipeline:
         chunk: int = 16,
         ingest: str = "rgb",
     ):
-        if court is not None and court.fixed_keypoints_detection is None:
-            raise ValueError(
-                "FusedPipeline supports the court tracker in fixed mode; run "
-                "model-based court keypoints separately"
-            )
         if ingest not in ("rgb", "i420"):
             raise ValueError(f"unknown ingest {ingest!r}")
         self.players = players
         self.pose = pose
         self.ball = ball
         self.court = court
+        # Court participates in the fused schedule in all three reference
+        # modes: 'fixed' costs nothing; 'yolo'/'resnet' run as a fourth
+        # sub-step over the shared frame upload, so moving-camera clips
+        # (per-frame homography, projected_court.py:633-647) get the fast
+        # path too.
+        if court is None:
+            self.court_mode = None
+        elif court.fixed_keypoints_detection is not None:
+            self.court_mode = "fixed"
+        else:
+            self.court_mode = court.model_type
         self.chunk = chunk
         # 'i420': frames cross the host->device link as packed YUV 4:2:0
         # planes (1.5 bytes/px vs RGB's 3) and are reconstructed on device
@@ -439,6 +482,37 @@ class FusedPipeline:
 
         return ball_step
 
+    def _build_court_step(self, src_hw: tuple[int, int]):
+        """Fourth fused sub-step: model-based court keypoints over the
+        shared frame buffer (reference keypoints_tracker.py:199-262 yolo /
+        :264-312 resnet). Returns ONE packed (B, 25) buffer:
+        24 flat (x, y) in source pixels + a validity flag."""
+        decode = self._ingest_decode(src_hw)
+        court = self.court
+        if self.court_mode == "yolo":
+            inner = court._build_yolo_step(src_hw, self.chunk)
+
+            def court_step(court_vars, frames_raw):
+                kpts, valid = inner(court_vars, decode(frames_raw))
+                b = kpts.shape[0]
+                return jnp.concatenate(
+                    [kpts.reshape(b, -1), valid[:, None].astype(jnp.float32)],
+                    axis=-1,
+                )
+
+        else:  # resnet: always valid
+            inner = court._build_resnet_step(src_hw, self.chunk)
+
+            def court_step(court_vars, frames_raw):
+                kpts = inner(court_vars, decode(frames_raw))
+                b = kpts.shape[0]
+                return jnp.concatenate(
+                    [kpts.reshape(b, -1), jnp.ones((b, 1), jnp.float32)],
+                    axis=-1,
+                )
+
+        return court_step
+
     # ------------------------------------------------------------------
     # Staged-scan variants: the whole superchunk of frames is uploaded to
     # HBM once and a lax.scan over chunks runs ON DEVICE, so a clip
@@ -450,6 +524,18 @@ class FusedPipeline:
         det_core = self._build_det_step(src_hw)
         pose_core = self._build_pose_step(src_hw)
         ball_core = self._build_ball_step(src_hw)
+        court_core = (
+            self._build_court_step(src_hw)
+            if self.court_mode in ("yolo", "resnet")
+            else None
+        )
+
+        def court_scan(court_vars, frames_all):
+            frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
+            _, outs = jax.lax.scan(
+                lambda _, fr: (None, court_core(court_vars, fr)), None, frames_c
+            )
+            return outs
 
         def det_scan(det_vars, frames_all):
             frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
@@ -485,7 +571,9 @@ class FusedPipeline:
             )
             return outs, fc, hc
 
-        return det_scan, pose_scan, ball_scan
+        return det_scan, pose_scan, ball_scan, (
+            court_scan if court_core is not None else None
+        )
 
     def run_staged(
         self,
@@ -510,15 +598,18 @@ class FusedPipeline:
         )
         self._check_ingest(src_hw)
 
-        key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest)
+        key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest, self.court_mode)
         if key not in self._step_cache:
-            det_scan, pose_scan, ball_scan = self._build_scan_steps(src_hw, s)
+            det_scan, pose_scan, ball_scan, court_scan = self._build_scan_steps(
+                src_hw, s
+            )
             self._step_cache[key] = (
                 jax.jit(det_scan),
                 jax.jit(pose_scan),
                 jax.jit(ball_scan),
+                jax.jit(court_scan) if court_scan is not None else None,
             )
-        det_scan, pose_scan, ball_scan = self._step_cache[key]
+        det_scan, pose_scan, ball_scan, court_scan = self._step_cache[key]
 
         coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
         n_ext = n + seq_len - 1
@@ -570,16 +661,21 @@ class FusedPipeline:
                 lo,
                 jnp.asarray(swap_all),
             )
+            court_packed = (
+                court_scan(self.court.engine.variables, frames_dev)
+                if court_scan is not None
+                else None
+            )
             if pending is not None:
                 self._drain_round(pending, builder, n, b, seq_len)
-            pending = (lo, det_packed, pose_packed, ball_packed)
+            pending = (lo, det_packed, pose_packed, ball_packed, court_packed)
         if pending is not None:
             self._drain_round(pending, builder, n, b, seq_len)
 
         return builder.finish()
 
     def _drain_round(self, item, builder: _ResultBuilder, n, b, seq_len):
-        lo, det_packed, pose_packed, ball_packed = item
+        lo, det_packed, pose_packed, ball_packed, court_packed = item
         s = det_packed.shape[0]
         dp = np.asarray(det_packed).reshape(s * b, *det_packed.shape[2:])
         pp = np.asarray(pose_packed).reshape(s * b, *pose_packed.shape[2:])
@@ -594,6 +690,11 @@ class FusedPipeline:
                 p[..., : 3 * nk].reshape(p.shape[0], p.shape[1], nk, 3),
                 p[..., 3 * nk] > 0.5,
             )
+            if court_packed is not None:
+                cp = np.asarray(court_packed).reshape(
+                    s * b, court_packed.shape[-1]
+                )
+                builder.add_court(cp[:n_real])
         emit_lo = lo - (seq_len - 1)
         for j in range(s * b):
             f = emit_lo + j
@@ -625,14 +726,17 @@ class FusedPipeline:
         )
         self._check_ingest(src_hw)
 
-        key = (src_hw, b, ball.bg_mode, self.ingest)
+        key = (src_hw, b, ball.bg_mode, self.ingest, self.court_mode)
         if key not in self._step_cache:
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw)),
                 jax.jit(self._build_pose_step(src_hw)),
                 jax.jit(self._build_ball_step(src_hw)),
+                jax.jit(self._build_court_step(src_hw))
+                if self.court_mode in ("yolo", "resnet")
+                else None,
             )
-        det_step, pose_step, ball_step = self._step_cache[key]
+        det_step, pose_step, ball_step, court_step = self._step_cache[key]
 
         coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
         frame_carry = jnp.zeros(
@@ -666,7 +770,8 @@ class FusedPipeline:
         pending = collections.deque()  # packed device outputs, depth-2 queue
 
         def drain(item):
-            emit_lo, n_real_frames, det_packed, pose_packed, ball_packed = item
+            (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed,
+             court_packed) = item
             if n_real_frames:
                 dp = np.asarray(det_packed)[:n_real_frames]
                 builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
@@ -676,6 +781,8 @@ class FusedPipeline:
                     pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
                     pp[..., 3 * nk] > 0.5,
                 )
+                if court_packed is not None:
+                    builder.add_court(np.asarray(court_packed)[:n_real_frames])
             bp = np.asarray(ball_packed)
             for j in range(b):
                 f = emit_lo + j
@@ -717,10 +824,16 @@ class FusedPipeline:
                 lo,
                 jnp.asarray(swap_chunk),
             )
+            court_packed = (
+                court_step(self.court.engine.variables, frames_dev)
+                if court_step is not None
+                else None
+            )
             # Keep up to 2 chunks in flight; drain the oldest so host
             # syncs overlap with in-flight device work.
             pending.append(
-                (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed)
+                (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed,
+                 court_packed)
             )
             if len(pending) > 2:
                 drain(pending.popleft())
@@ -791,10 +904,17 @@ class FusedPipeline:
                 jax.jit(self._build_det_step(src_hw), in_shardings=(rep, shard)),
                 jax.jit(self._build_pose_step(src_hw), in_shardings=(rep, shard)),
                 jax.jit(ball_pre_step, in_shardings=(shard, rep, shard)),
+                jax.jit(
+                    self._build_court_step(src_hw), in_shardings=(rep, shard)
+                )
+                if self.court_mode in ("yolo", "resnet")
+                else None,
                 shard,
                 rep,
             )
-        det_step, pose_step, ball_pre_step, shard, rep = self._step_cache[key]
+        det_step, pose_step, ball_pre_step, court_step, shard, rep = (
+            self._step_cache[key]
+        )
 
         builder = _ResultBuilder(self, n, src_hw, None)
         median_src_dev = jax.device_put(median_src, rep)
@@ -819,9 +939,14 @@ class FusedPipeline:
             det_packed = det_step(self.players.engine.variables, frames_dev)
             pose_packed = pose_step(self.pose.engine.variables, frames_dev)
             pre_packed = ball_pre_step(frames_dev, median_src_dev, swap_dev)
+            court_packed = (
+                court_step(self.court.engine.variables, frames_dev)
+                if court_step is not None
+                else None
+            )
             if pending is not None:
                 self._drain_block(pending, builder, n, pre_frames)
-            pending = (lo, det_packed, pose_packed, pre_packed)
+            pending = (lo, det_packed, pose_packed, pre_packed, court_packed)
         if pending is not None:
             self._drain_block(pending, builder, n, pre_frames)
 
@@ -845,7 +970,7 @@ class FusedPipeline:
         return builder.finish()
 
     def _drain_block(self, item, builder: _ResultBuilder, n, pre_frames):
-        lo, det_packed, pose_packed, pre_packed = item
+        lo, det_packed, pose_packed, pre_packed, court_packed = item
         n_real = max(0, min(lo + det_packed.shape[0], n) - lo)
         if not n_real:
             return
@@ -857,6 +982,8 @@ class FusedPipeline:
             pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
             pp[..., 3 * nk] > 0.5,
         )
+        if court_packed is not None:
+            builder.add_court(np.asarray(court_packed)[:n_real])
         pre_frames.extend(np.asarray(pre_packed)[:n_real])
 
     # ------------------------------------------------------------------

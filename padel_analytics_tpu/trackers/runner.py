@@ -245,9 +245,12 @@ class TrackingRunner:
             return False
         if any(len(by_name[name]) != 0 for name in needed):
             return False
+        # Court joins the fused schedule in all modes (fixed is free; the
+        # yolo/resnet models run as a fourth sub-step over the shared
+        # upload). A court tracker with cached predictions keeps them.
         court = by_name.get("keypoints_tracker")
-        if court is not None and court.fixed_keypoints_detection is None:
-            return False
+        if court is not None and len(court) != 0:
+            court = None
 
         t0 = timeit.default_timer()
         pipeline = self._fused_pipeline = getattr(
