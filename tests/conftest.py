@@ -27,9 +27,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded per test: a shared session stream makes
+    # draw-sensitive tests depend on which tests ran before them (adding a
+    # test file changed the draws seen by a homography-exactness test).
+    import zlib
+
+    # zlib.crc32, not hash(): str hashes are salted per process.
+    seed = zlib.crc32(request.node.nodeid.encode())
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")

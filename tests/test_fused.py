@@ -166,12 +166,15 @@ def test_fused_real_models_smoke(rng):
     assert all(b.visibility in (0, 1) for b in out["ball"])
 
 
-def test_fused_rejects_model_court_mode():
-    players, pose, ball, _ = _make_trackers()
+def test_fused_detects_court_mode():
+    """Model-based court modes join the fused schedule as a fourth
+    sub-step (tests/test_fused_court.py checks output parity)."""
+    players, pose, ball, court_fixed = _make_trackers()
+    assert FusedPipeline(players, pose, ball, court_fixed).court_mode == "fixed"
     court = KeypointsTracker(model_path=None, model_type="yolo",
                              compute_dtype=jnp.float32, model_variant="n")
-    with pytest.raises(ValueError):
-        FusedPipeline(players, pose, ball, court)
+    assert FusedPipeline(players, pose, ball, court).court_mode == "yolo"
+    assert FusedPipeline(players, pose, ball, None).court_mode is None
 
 
 def test_staged_scan_matches_chunked(rng):
