@@ -218,5 +218,7 @@ def main():
     )
 
 
-# streamlit executes the module top-level
-main()
+# streamlit executes the module top-level; tests import with the guard env
+# set and drive main() against a scripted st (tests/test_streamlit_app.py).
+if os.environ.get("PAT_STREAMLIT_NO_AUTORUN") != "1":  # pragma: no cover
+    main()

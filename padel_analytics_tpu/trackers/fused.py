@@ -357,12 +357,14 @@ class FusedPipeline:
         )
         decode = self._ingest_decode(src_hw)
 
+        from .players import _person_scores
+
         def det_step(det_vars, frames_raw):
             x_det = lb.apply(decode(frames_raw)) / 255.0
             det_out = det_model.apply(det_vars, x_det)
             boxes, det_scores, _, _, det_valid = batched_nms(
                 det_out["boxes"],
-                det_out["scores"][..., 0],
+                _person_scores(det_out["scores"]),
                 conf_thres=conf_d,
                 iou_thres=iou_d,
                 max_det=max_d,

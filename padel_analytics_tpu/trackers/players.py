@@ -157,7 +157,7 @@ class PlayerTracker(Tracker):
             out = model.apply(variables, x)
             boxes, scores, _, _, valid = batched_nms(
                 out["boxes"],
-                out["scores"][..., 0],
+                _person_scores(out["scores"]),
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
@@ -228,6 +228,18 @@ class PlayerTracker(Tracker):
 
     def predict_frames(self, frame_generator: Iterable[np.ndarray], **kwargs):
         raise NoPredictFrames()
+
+
+def _person_scores(cls_scores: jnp.ndarray) -> jnp.ndarray:
+    """Per-anchor person score with ultralytics' classes=[0] semantics:
+    an anchor is a person candidate only when person is its argmax class
+    (ultralytics filters on the best class before NMS, ops.py
+    non_max_suppression), so a ball-dominated anchor never enters the
+    person NMS even if its person score clears conf. nc=1 is unchanged."""
+    s0 = cls_scores[..., 0]
+    if cls_scores.shape[-1] == 1:
+        return s0
+    return jnp.where(jnp.argmax(cls_scores, axis=-1) == 0, s0, 0.0)
 
 
 def _load_yolo_pt(path: str) -> dict:

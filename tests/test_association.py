@@ -97,3 +97,61 @@ def test_moderate_iou_match_keeps_id():
         np.array([_box(220, 400, w=40, h=80)]), np.array([0.9])
     )
     assert keep.all() and ids1[0] == ids0[0]
+
+
+def test_exact_cost_tie_is_deterministic_and_documented():
+    """Exact-cost ties are where scipy's Hungarian may differ from the
+    reference's lap.lapjv (supervision's solver, players_tracker.py:311):
+    both return an optimal assignment, but which of several optima is
+    arbitrary. Pin OUR deterministic choice so any change is visible;
+    PARITY.md documents that lapjv may pick the transpose on such ties."""
+    bt = ByteTrack(frame_rate=30)
+    # Establish tracks 1 and 2 at distinct positions (wide boxes so the
+    # tie detections overlap BOTH tracks equally).
+    for _ in range(3):
+        ids, _ = bt.update_with_detections(
+            np.array([_box(100, 400, w=200), _box(300, 400, w=200)]),
+            np.array([0.9, 0.9]),
+        )
+    assert tuple(ids) == (1, 2)
+    # Two IDENTICAL detections exactly between the tracks: every entry of
+    # the cost matrix is equal -> two optimal assignments.
+    twin = np.array([_box(200, 400, w=200), _box(200, 400, w=200)])
+    ids, keep = bt.update_with_detections(twin, np.array([0.9, 0.9]))
+    assert keep.all()
+    # scipy.linear_sum_assignment resolves ties in row-major order:
+    # track 1 -> detection 0, track 2 -> detection 1.
+    assert tuple(ids) == (1, 2)
+
+
+def test_crossing_targets_keep_their_ids():
+    """Golden behavioral sequence: two targets crossing paths. The Kalman
+    velocity model carries each track through the crossing, so the ID set
+    stays {1, 2} with no births (the reference implementation behaves the
+    same way on smooth crossings)."""
+    bt = ByteTrack(frame_rate=30)
+    all_ids = set()
+    for f in range(30):
+        boxes = np.array(
+            [_box(100 + 20 * f, 400), _box(700 - 20 * f, 400, w=44, h=86)]
+        )
+        ids, keep = bt.update_with_detections(boxes, np.array([0.9, 0.88]))
+        assert keep.all(), f
+        all_ids.update(ids.tolist())
+    assert all_ids == {1, 2}
+
+
+def test_fragmented_low_conf_run_keeps_id():
+    """A target whose confidence dips below track_thresh for several
+    consecutive frames stays associated through stage-2 (the core ByteT
+    rack idea) and never spawns a duplicate ID."""
+    bt = ByteTrack(frame_rate=30)
+    ids_seen = []
+    for f in range(12):
+        conf = 0.9 if f < 4 or f > 8 else 0.18  # low but > 0.1
+        ids, keep = bt.update_with_detections(
+            np.array([_box(400 + 5 * f, 300)]), np.array([conf])
+        )
+        if keep.any():
+            ids_seen.extend(ids.tolist())
+    assert set(ids_seen) == {1}
