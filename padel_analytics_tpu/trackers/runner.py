@@ -169,12 +169,17 @@ class TrackingRunner:
         # upload path's own CPU cost (serialization/compression) and SLOWS
         # the run ~30% (BENCH.md), hence off by default.
         fused_stream_draw: bool = False,
+        # jax.sharding.Mesh with a 'data' axis: the fused pipeline shards
+        # the frame axis across it (FusedPipeline.run_mesh) — the v5e-8
+        # deployment path. None = single device.
+        mesh=None,
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
         self.fused_staged = fused_staged
         self.fused_ingest = fused_ingest
         self.fused_stream_draw = fused_stream_draw
+        self.mesh = mesh
         self.video_path = video_path
         self.inference_path = inference_path
         self.start = start
@@ -272,7 +277,11 @@ class TrackingRunner:
         stream_cb = None
         self._fused_drew = False
         court_was_empty = court is not None and len(court) == 0
-        if self.fused_stream_draw and ball_tracker.inpaintnet is None:
+        if (
+            self.fused_stream_draw
+            and ball_tracker.inpaintnet is None
+            and self.mesh is None  # run_mesh finalizes ball only at the end
+        ):
             drawer = _StreamingDrawer(self)
             players_res = by_name["players_tracker"].results
             pose_res = by_name["players_keypoints_tracker"].results
@@ -286,7 +295,13 @@ class TrackingRunner:
                 drawer.notify(len(ball_tracker.results.predictions))
 
         try:
-            if self.fused_staged > 0:
+            if self.mesh is not None:
+                out = pipeline.run_mesh(
+                    iter(self.frame_store),
+                    total_frames=self.total_frames,
+                    mesh=self.mesh,
+                )
+            elif self.fused_staged > 0:
                 out = pipeline.run_staged(
                     iter(self.frame_store),
                     total_frames=self.total_frames,

@@ -102,3 +102,62 @@ def test_run_mesh_bit_equal_single_device(rng, ingest):
         for a, b in zip(k1.players_keypoints, k2.players_keypoints):
             for ka, kb in zip(a.player_keypoints, b.player_keypoints):
                 np.testing.assert_allclose(ka.xy, kb.xy, rtol=1e-5, atol=1e-3)
+
+
+def test_runner_mesh_end_to_end(rng, tmp_path):
+    """TrackingRunner(mesh=...) routes the fused pipeline through
+    run_mesh and produces the full outputs (video + analytics). Uses a
+    larger frame than the bit-equal tests: the minimap render needs room."""
+    from padel_analytics_tpu.trackers import KeypointsTracker, TrackingRunner
+
+    w, h, n = 320, 240, 40
+    video = tmp_path / "clip.mp4"
+    vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for i in range(n):
+        f = np.full((h, w, 3), 40, np.uint8)
+        cv2.circle(f, (20 + (i * 6) % 280, 120), 4, (250, 250, 90), -1)
+        vw.write(f)
+    vw.release()
+
+    players = PlayerTracker(
+        None,
+        PolygonZone(
+            np.array([[10, 230], [310, 230], [310, 10], [10, 10]]),
+            frame_resolution_wh=(w, h),
+        ),
+        batch_size=4, model_variant="n", compute_dtype=jnp.float32,
+    )
+    players.IMGSZ = 64
+    pose = PlayerKeypointsTracker(
+        None, train_image_size=64, batch_size=4, model_variant="n",
+        compute_dtype=jnp.float32, load_path=None, save_path=None,
+    )
+    ball = BallTracker(
+        None, None,
+        config=BallTrackerConfig(
+            batch_size=4, median_max_sample_num=5, height=32, width=64,
+            seq_len=SEQ,
+        ),
+        compute_dtype=jnp.float32,
+    )
+    kp = Keypoints(
+        [Keypoint(id=i, xy=(float(30 + (i % 4) * 80), float(30 + (i // 4) * 80)))
+         for i in range(12)]
+    )
+    court = KeypointsTracker(fixed_keypoints_detection=kp)
+    runner = TrackingRunner(
+        [players, pose, ball, court],
+        video,
+        tmp_path / "out.mp4",
+        collect_data=True,
+        fused=True,
+        fused_chunk=2,
+        mesh=make_mesh(data=8, model=1),
+    )
+    runner.run()
+    n = runner.total_frames
+    assert len(runner.trackers["ball_tracker"]) == n
+    assert len(runner.trackers["players_tracker"]) == n
+    assert (tmp_path / "out.mp4").exists()
+    df = runner.data_analytics.into_dataframe(30.0)
+    assert len(df) == n
