@@ -40,9 +40,12 @@ def frame_channels(bg_mode: str) -> int:
 
 
 def window_in_dim(bg_mode: str, seq_len: int) -> int:
-    """TrackNet input channel count (get_model, ball_tracker.py:52-58)."""
-    base = seq_len * _FRAME_CHANNELS[bg_mode]
-    return base + 3 if bg_mode == "concat" else base
+    """TrackNet input channel count (get_model, ball_tracker.py:52-58).
+    Delegates to make_tracknet so the parity-critical formula lives in
+    exactly one place."""
+    from ..models.tracknet import make_tracknet
+
+    return make_tracknet(seq_len, bg_mode)[1]
 
 
 def make_frame_preprocess(

@@ -368,7 +368,7 @@ class FusedPipeline:
                 conf_thres=conf_d,
                 iou_thres=iou_d,
                 max_det=max_d,
-                top_k=128,
+                top_k=self.players.nms_top_k,
             )
             boxes = lb.boxes_to_source(boxes)
             boxes = jnp.stack(
@@ -422,7 +422,7 @@ class FusedPipeline:
                 conf_thres=conf_p,
                 iou_thres=iou_p,
                 max_det=max_p,
-                top_k=64,
+                top_k=self.pose.nms_top_k,
             )
             kpts = jnp.take_along_axis(
                 pose_out["kpts"], jnp.clip(p_idx, 0)[..., None, None], axis=1

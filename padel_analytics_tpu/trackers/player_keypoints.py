@@ -40,6 +40,9 @@ class PlayerKeypointsTracker(Tracker):
 
     CONF = 0.25
     IOU = 0.7
+    # Pre-NMS candidate cap (see PlayersTracker.nms_top_k); config knob
+    # PlayerKeypointsTrackerConfig.nms_top_k.
+    nms_top_k = 64
 
     def __init__(
         self,
@@ -62,6 +65,7 @@ class PlayerKeypointsTracker(Tracker):
             max_detections = config.max_detections
             self.CONF = config.conf
             self.IOU = config.iou
+            self.nms_top_k = config.nms_top_k
 
         # The reference asserts 640/1280 (players_keypoints_tracker.py:240);
         # config-level validation enforces that for the public surface, but
@@ -114,7 +118,7 @@ class PlayerKeypointsTracker(Tracker):
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
-                top_k=64,
+                top_k=self.nms_top_k,
             )
             # Gather keypoints of kept detections: (B, max_det, 13, 3).
             kpts = jnp.take_along_axis(

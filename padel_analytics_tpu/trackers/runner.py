@@ -258,16 +258,19 @@ class TrackingRunner:
             court = None
 
         t0 = timeit.default_timer()
-        pipeline = self._fused_pipeline = getattr(
-            self, "_fused_pipeline", None
-        ) or FusedPipeline(
-            by_name["players_tracker"],
-            by_name["players_keypoints_tracker"],
-            by_name["ball_tracker"],
-            court,
-            chunk=self.fused_chunk,
-            ingest=self.fused_ingest,
-        )
+        # The cached pipeline is keyed to the court argument: a later run
+        # whose court state differs (cache loaded vs empty) must rebuild,
+        # or it would compute with a stale court mode / miss 'keypoints'.
+        pipeline = getattr(self, "_fused_pipeline", None)
+        if pipeline is None or pipeline.court is not court:
+            pipeline = self._fused_pipeline = FusedPipeline(
+                by_name["players_tracker"],
+                by_name["players_keypoints_tracker"],
+                by_name["ball_tracker"],
+                court,
+                chunk=self.fused_chunk,
+                ingest=self.fused_ingest,
+            )
 
         # Streaming draw: render/collect concurrently with inference (host
         # work hides under the bottleneck uploads). Needs the court results
@@ -330,6 +333,11 @@ class TrackingRunner:
         print(f"runner: fused inference {self.stage_times['fused_inference']:.2f}s")
         for name in needed:
             by_name[name].save_predictions()
+        if court is not None:
+            # Model-based court results computed by the fourth sub-step
+            # persist to its cache too (sequential path saves every
+            # tracker).
+            court.save_predictions()
         return True
 
     def _draw_one(self, writer, frame_index: int, frame: np.ndarray) -> None:
