@@ -25,10 +25,27 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def init_distributed(coordinator: Optional[str] = None) -> None:
-    """Multi-host initialization (no-op on a single host)."""
-    if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (no-op when no coordinator is given).
+
+    On the CPU backend, cross-process collectives need the gloo
+    implementation (used by the 2-process dry-run test; on TPU pods the
+    ICI/DCN transport is native and this config is ignored)."""
+    if not coordinator:
+        return
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older/newer jax without the knob
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(

@@ -122,12 +122,30 @@ def sharded_window_inference(
             out_specs=(P("data"), P("data"), P("data")),
         )
     )
-    frames_dev = jax.device_put(frames_p, NamedSharding(mesh, spec_frames))
-    coef_dev = jax.device_put(coef_p, NamedSharding(mesh, spec_frames))
-    median_dev = jax.device_put(np.asarray(median), NamedSharding(mesh, P()))
+    # make_array_from_callback (not device_put): works identically when
+    # the mesh spans multiple PROCESSES — each host materializes only its
+    # addressable shards from the (replicated) host-side frame array.
+    frames_dev = _global_array(frames_p, NamedSharding(mesh, spec_frames))
+    coef_dev = _global_array(coef_p, NamedSharding(mesh, spec_frames))
+    median_dev = _global_array(np.asarray(median), NamedSharding(mesh, P()))
     cx, cy, vis = fn(frames_dev, coef_dev, median_dev)
     return (
-        np.asarray(cx)[:n_frames],
-        np.asarray(cy)[:n_frames],
-        np.asarray(vis)[:n_frames],
+        _host_array(cx)[:n_frames],
+        _host_array(cy)[:n_frames],
+        _host_array(vis)[:n_frames],
     )
+
+
+def _global_array(host: np.ndarray, sharding) -> jax.Array:
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
+def _host_array(x: jax.Array) -> np.ndarray:
+    """Fetch a (possibly multi-process) sharded array to every host."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
