@@ -182,7 +182,7 @@ class YOLOv8(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, raw: bool = False):
         depth, width, max_ch = YOLOV8_VARIANTS[self.variant]
         chs = [_scale_ch(c, width, max_ch) for c in _BASE_CHANNELS]
         ns = [_scale_d(n, depth) for n in _BASE_DEPTHS]
@@ -223,6 +223,7 @@ class YOLOv8(nn.Module):
         c4 = max(chs[2] // 4, nk) if nk else 0
 
         all_boxes, all_scores, all_kpts = [], [], []
+        all_box_logits, all_cls_logits, all_kpt_raw = [], [], []
         for i, (f, stride) in enumerate(zip(feats, strides)):
             b, h, w, _ = f.shape
             box = _HeadBranch(c2, 4 * REG_MAX, dtype=dt, name=f"box_{i}")(f, train)
@@ -234,15 +235,19 @@ class YOLOv8(nn.Module):
             ay = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5).reshape(-1)
 
             box = box.reshape(b, h * w, 4, REG_MAX)
+            cls = cls.reshape(b, h * w, self.num_classes)
             all_boxes.append(dfl_decode(box, ax, ay, stride))
-            all_scores.append(
-                jax.nn.sigmoid(cls.reshape(b, h * w, self.num_classes).astype(jnp.float32))
-            )
+            all_scores.append(jax.nn.sigmoid(cls.astype(jnp.float32)))
+            if raw:
+                all_box_logits.append(box.astype(jnp.float32))
+                all_cls_logits.append(cls.astype(jnp.float32))
 
             if nk:
                 kpt = _HeadBranch(c4, nk, dtype=dt, name=f"kpt_{i}")(f, train)
                 kpt = kpt.reshape(b, h * w, self.num_keypoints, 3)
                 all_kpts.append(pose_decode(kpt, ax, ay, stride))
+                if raw:
+                    all_kpt_raw.append(kpt.astype(jnp.float32))
 
         out = {
             "boxes": jnp.concatenate(all_boxes, axis=1),
@@ -250,9 +255,34 @@ class YOLOv8(nn.Module):
         }
         if nk:
             out["kpts"] = jnp.concatenate(all_kpts, axis=1)
+        if raw:
+            # Training-time head outputs (training/yolo.py): DFL bin logits,
+            # pre-sigmoid class logits, raw keypoint offsets.
+            out["box_logits"] = jnp.concatenate(all_box_logits, axis=1)
+            out["cls_logits"] = jnp.concatenate(all_cls_logits, axis=1)
+            if nk:
+                out["kpt_raw"] = jnp.concatenate(all_kpt_raw, axis=1)
         return out
 
 
 def num_anchors(h: int, w: int) -> int:
     """Total anchors for an (h, w) input across strides 8/16/32."""
     return sum((h // s) * (w // s) for s in (8, 16, 32))
+
+
+def anchor_table(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-anchor (centers (A, 2) in CELLS (+0.5), strides (A,)) matching
+    the head's anchor layout — the training loss decodes/encodes boxes
+    against these (training/yolo.py)."""
+    centers, strides = [], []
+    for s in (8, 16, 32):
+        gh, gw = h // s, w // s
+        yy, xx = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        centers.append(
+            np.stack([xx.reshape(-1) + 0.5, yy.reshape(-1) + 0.5], axis=-1)
+        )
+        strides.append(np.full(gh * gw, s, np.float32))
+    return (
+        np.concatenate(centers).astype(np.float32),
+        np.concatenate(strides).astype(np.float32),
+    )
