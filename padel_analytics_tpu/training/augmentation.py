@@ -90,3 +90,65 @@ def frame_mixup(
         jax.random.choice(rng_pick, 2 * l - 1, shape=(l,), replace=False)
     )
     return all_f[pick], all_h[pick], all_c[pick], all_v[pick]
+
+
+# ------------------------------------------------------------ YOLO augments
+#
+# Detection/pose augmentations for training/yolo.py, vectorized and
+# jittable per batch (the ultralytics counterparts run per-sample in
+# DataLoader workers on the host). Boxes are xyxy pixels, keypoints
+# (x, y, vis) pixels; gt padding rows stay masked.
+
+
+def hflip_boxes(
+    rng: jax.Array,
+    images: jnp.ndarray,  # (B, H, W, 3)
+    boxes: jnp.ndarray,  # (B, M, 4) xyxy px
+    kpts: jnp.ndarray | None = None,  # (B, M, K, 3)
+    p: float = 0.5,
+):
+    """Random horizontal flip per image, mirroring boxes (and keypoints)."""
+    b = images.shape[0]
+    w = images.shape[2]
+    flip = jax.random.uniform(rng, (b,)) < p
+    flipped = jnp.where(
+        flip[:, None, None, None], images[:, :, ::-1, :], images
+    )
+    x1 = jnp.where(flip[:, None], w - boxes[..., 2], boxes[..., 0])
+    x2 = jnp.where(flip[:, None], w - boxes[..., 0], boxes[..., 2])
+    out_boxes = jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+    if kpts is None:
+        return flipped, out_boxes, None
+    kx = jnp.where(flip[:, None, None], w - kpts[..., 0], kpts[..., 0])
+    out_kpts = jnp.concatenate([kx[..., None], kpts[..., 1:]], axis=-1)
+    return flipped, out_boxes, out_kpts
+
+
+def mosaic4(
+    rng: jax.Array,
+    images: jnp.ndarray,  # (B, H, W, 3), B divisible by 4
+    boxes: jnp.ndarray,  # (B, M, 4)
+    mask: jnp.ndarray,  # (B, M)
+    labels: jnp.ndarray,  # (B, M)
+):
+    """2x2 mosaic: every 4 consecutive images tile into one double-size
+    canvas (fixed-shape variant of ultralytics' mosaic — no random crop,
+    so box geometry stays exact). Returns (B/4, 2H, 2W, 3) images and the
+    4M merged gt slots per canvas."""
+    b, h, w, _ = images.shape
+    assert b % 4 == 0, "mosaic4 needs batch divisible by 4"
+    g = b // 4
+    tiles = images.reshape(g, 4, h, w, 3)
+    top = jnp.concatenate([tiles[:, 0], tiles[:, 1]], axis=2)
+    bot = jnp.concatenate([tiles[:, 2], tiles[:, 3]], axis=2)
+    canvas = jnp.concatenate([top, bot], axis=1)  # (g, 2H, 2W, 3)
+
+    off = jnp.asarray(
+        [[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]], jnp.float32
+    )  # (4, 2) per-quadrant x/y offsets
+    bx = boxes.reshape(g, 4, -1, 4)
+    shift = jnp.concatenate([off, off], axis=-1)[None, :, None, :]
+    out_boxes = (bx + shift).reshape(g, -1, 4)
+    out_mask = mask.reshape(g, -1)
+    out_labels = labels.reshape(g, -1)
+    return canvas, out_boxes, out_mask, out_labels

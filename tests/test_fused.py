@@ -192,3 +192,62 @@ def test_staged_scan_matches_chunked(rng):
         assert len(out_a[key]) == len(out_b[key]) == N
         for a, b in zip(out_a[key], out_b[key]):
             assert a.serialize() == b.serialize(), key
+
+
+class FakeTrackNetBG:
+    """Decisive fake for a given background mode: per window frame, an
+    indicator over that frame's channel group (diff channel for the
+    subtract modes)."""
+
+    def __init__(self, bg_mode, thr, seq_len=8):
+        from padel_analytics_tpu.trackers._ballwindow import frame_channels
+
+        self.cf = frame_channels(bg_mode)
+        self.off = 3 if bg_mode == "concat" else 0
+        self.thr = thr
+        self.seq_len = seq_len
+
+    def apply(self, variables, x):
+        maps = []
+        for c in range(self.seq_len):
+            g = x[..., self.off + self.cf * c : self.off + self.cf * (c + 1)]
+            maps.append((jnp.mean(g, axis=-1) > self.thr).astype(jnp.float32))
+        return jnp.stack(maps, axis=-1)
+
+
+@pytest.mark.parametrize("bg_mode,thr", [("subtract", 0.5), ("subtract_concat", 0.45)])
+def test_fused_ball_matches_sequential_subtract_modes(rng, bg_mode, thr):
+    """The fused ball branch must reproduce the sequential tracker for the
+    subtract background modes (source-res difference images + swap quirk
+    computed on device)."""
+    frames = []
+    for i in range(N):
+        f = np.full((H, W, 3), 30, np.uint8)
+        x0 = 10 + (4 * i) % 100
+        f[40:50, x0 : x0 + 6] = 110  # |110-30|*3 = 240 < 256: no uint8 wrap
+        f += rng.integers(0, 5, f.shape, dtype=np.uint8).astype(np.uint8)
+        frames.append(f)
+
+    def make_ball():
+        ball = BallTracker(
+            None, None, compute_dtype=jnp.float32,
+            config=BallTrackerConfig(height=72, width=128, batch_size=4,
+                                     median_max_sample_num=6, bg_mode=bg_mode),
+        )
+        ball.tracknet.model = FakeTrackNetBG(bg_mode, thr)
+        ball.video_info_post_init(
+            VideoInfo(width=W, height=H, fps=10.0, total_frames=N)
+        )
+        return ball
+
+    seq = make_ball().predict_frames(iter(list(frames)), N)
+
+    players, pose, _, court = _make_trackers()
+    ball = make_ball()
+    out = FusedPipeline(players, pose, ball, court, chunk=4).run(
+        iter(list(frames)), N
+    )
+    fused = out["ball"]
+    assert len(seq) == len(fused) == N
+    for a, b in zip(seq, fused):
+        assert a.xy == b.xy and a.visibility == b.visibility, a.frame

@@ -256,3 +256,48 @@ def test_train_yolo_cli_end_to_end(tmp_path):
     )
     o = model.apply(variables, jnp.zeros((2, 64, 64, 3), jnp.float32))
     assert o["boxes"].shape[0] == 2
+
+
+def test_hflip_boxes_geometry(rng):
+    from padel_analytics_tpu.training.augmentation import hflip_boxes
+
+    images = jnp.asarray(rng.integers(0, 255, (4, 8, 16, 3)).astype(np.float32))
+    boxes = jnp.asarray([[[2.0, 1.0, 6.0, 5.0]]] * 4)
+    kpts = jnp.asarray([[[[3.0, 2.0, 2.0]]]] * 4)
+    key = jax.random.PRNGKey(0)
+    out_im, out_b, out_k = hflip_boxes(key, images, boxes, kpts, p=1.0)
+    np.testing.assert_allclose(np.asarray(out_b)[0, 0], [10.0, 1.0, 14.0, 5.0])
+    np.testing.assert_allclose(np.asarray(out_k)[0, 0, 0], [13.0, 2.0, 2.0])
+    np.testing.assert_array_equal(
+        np.asarray(out_im), np.asarray(images)[:, :, ::-1, :]
+    )
+    # p=0: identity
+    same_im, same_b, _ = hflip_boxes(key, images, boxes, kpts, p=0.0)
+    np.testing.assert_array_equal(np.asarray(same_im), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(same_b), np.asarray(boxes))
+
+
+def test_mosaic4_geometry(rng):
+    from padel_analytics_tpu.training.augmentation import mosaic4
+
+    b, h, w, m = 4, 8, 12, 2
+    images = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.array([[1.0, 2.0, 5.0, 6.0], [0, 0, 0, 0]], np.float32), (b, 1, 1))
+    )
+    mask = jnp.asarray(np.tile(np.array([True, False]), (b, 1)))
+    labels = jnp.zeros((b, m), jnp.int32)
+    canvas, out_b, out_m, out_l = mosaic4(
+        jax.random.PRNGKey(0), images, boxes, mask, labels
+    )
+    assert canvas.shape == (1, 2 * h, 2 * w, 3)
+    ob = np.asarray(out_b).reshape(4, m, 4)
+    np.testing.assert_allclose(ob[0, 0], [1, 2, 5, 6])  # top-left
+    np.testing.assert_allclose(ob[1, 0], [1 + w, 2, 5 + w, 6])  # top-right
+    np.testing.assert_allclose(ob[2, 0], [1, 2 + h, 5, 6 + h])  # bottom-left
+    np.testing.assert_allclose(ob[3, 0], [1 + w, 2 + h, 5 + w, 6 + h])
+    assert np.asarray(out_m).sum() == 4
+    # pixel placement: quadrant 3 (bottom-right) equals image 3
+    np.testing.assert_array_equal(
+        np.asarray(canvas)[0, h:, w:], np.asarray(images)[3]
+    )
