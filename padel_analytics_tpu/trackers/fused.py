@@ -792,7 +792,8 @@ class FusedPipeline:
                     builder.add_ball(int(bp[j, 0]), int(bp[j, 1]), int(bp[j, 2]))
             builder.maybe_emit()
 
-        for k in range(num_chunks):
+        def prepare(k: int):
+            """Host side of chunk k: decode fill, convert, pack."""
             lo, hi = k * b, min((k + 1) * b, n_ext)
             avail = fw.fill_to(min(hi, n))
             chunk_frames = [
@@ -807,6 +808,39 @@ class FusedPipeline:
             upto = min(hi, n) - lo
             if upto > 0:
                 swap_chunk[:upto] = quirk_flags[lo : lo + upto]
+            return lo, arr, swap_chunk
+
+        # Prefetch: the NEXT chunk's decode/convert/pack (cv2/numpy —
+        # releases the GIL) runs in a worker while the main thread sits in
+        # the blocking upload, hiding the host work under the link (the
+        # pipeline bottleneck, BENCH.md). Depth 1: bounded memory, and the
+        # frame-window mutation stays sequential (one prepare at a time).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        try:
+            next_prep = pool.submit(prepare, 0)
+            return self._run_chunk_loop(
+                num_chunks, b, n, n_ext, seq_len, pool, next_prep, prepare,
+                det_step, pose_step, ball_step, court_step, builder,
+                median_dev, median_src_dev, frame_carry, heat_carry,
+                coef_table_dev, pending, drain,
+            )
+        finally:
+            pool.shutdown(wait=False)
+
+    def _run_chunk_loop(
+        self, num_chunks, b, n, n_ext, seq_len, pool, next_prep, prepare,
+        det_step, pose_step, ball_step, court_step, builder, median_dev,
+        median_src_dev, frame_carry, heat_carry, coef_table_dev, pending,
+        drain,
+    ):
+        ball = self.ball
+        for k in range(num_chunks):
+            lo, arr, swap_chunk = next_prep.result()
+            if k + 1 < num_chunks:
+                next_prep = pool.submit(prepare, k + 1)
+            hi = min(lo + b, n_ext)
             n_real_frames = max(0, min(hi, n) - lo)
             emit_lo = lo - (seq_len - 1)
 
@@ -839,6 +873,7 @@ class FusedPipeline:
             )
             if len(pending) > 2:
                 drain(pending.popleft())
+        pool.shutdown(wait=False)
         while pending:
             drain(pending.popleft())
 
