@@ -256,6 +256,11 @@ class TrackingRunner:
         court = by_name.get("keypoints_tracker")
         if court is not None and len(court) != 0:
             court = None
+        # Clips shorter than the TrackNet window fall back to the
+        # sequential path, which zero-fills like the reference
+        # (ball_tracker.py:677-696); the fused chunk loop needs >= seq_len.
+        if self.total_frames < by_name["ball_tracker"].tracknet_seq_len:
+            return False
 
         t0 = timeit.default_timer()
         # The cached pipeline is keyed to the court argument: a later run

@@ -206,3 +206,62 @@ def test_ball_tracker_mesh_matches_single_device(synthetic_video):
     # thresholds for random-weight heatmaps near 0.5; visibility pattern
     # and the vast majority of frames must agree.
     assert mismatches <= max(2, len(ref) // 10)
+
+
+def test_short_clip_falls_back_to_sequential(tmp_path):
+    """A clip shorter than the TrackNet window can't run the fused chunk
+    loop; the runner must fall back to the sequential path, which
+    zero-fills missing ball frames like the reference
+    (ball_tracker.py:677-696)."""
+    import cv2
+
+    from padel_analytics_tpu.config import BallTrackerConfig
+    from padel_analytics_tpu.ops.polygon import PolygonZone
+    from padel_analytics_tpu.trackers import (
+        BallTracker,
+        Keypoint,
+        Keypoints,
+        KeypointsTracker,
+        PlayerKeypointsTracker,
+        PlayerTracker,
+        TrackingRunner,
+    )
+
+    w, h, n = 320, 240, 3  # < seq_len 4
+    video = tmp_path / "short.mp4"
+    vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    for _ in range(n):
+        vw.write(np.full((h, w, 3), 40, np.uint8))
+    vw.release()
+
+    players = PlayerTracker(
+        None,
+        PolygonZone(
+            np.array([[10, 230], [310, 230], [310, 10], [10, 10]]),
+            frame_resolution_wh=(w, h),
+        ),
+        batch_size=4, model_variant="n", compute_dtype=jnp.float32,
+    )
+    players.IMGSZ = 64
+    pose = PlayerKeypointsTracker(
+        None, train_image_size=64, batch_size=4, model_variant="n",
+        compute_dtype=jnp.float32, load_path=None, save_path=None,
+    )
+    ball = BallTracker(
+        None, None, compute_dtype=jnp.float32,
+        config=BallTrackerConfig(batch_size=4, median_max_sample_num=2,
+                                 height=32, width=64, seq_len=4),
+    )
+    kp = Keypoints(
+        [Keypoint(id=i, xy=(float(30 + (i % 4) * 80), float(30 + (i // 4) * 80)))
+         for i in range(12)]
+    )
+    court = KeypointsTracker(fixed_keypoints_detection=kp)
+    runner = TrackingRunner(
+        [players, pose, ball, court], video, tmp_path / "out.mp4",
+        collect_data=False, fused=True, fused_chunk=4,
+    )
+    runner.run()
+    balls = runner.trackers["ball_tracker"].results.predictions
+    assert len(balls) == n
+    assert all(b.visibility == 0 for b in balls)
