@@ -135,6 +135,7 @@ def main() -> int:
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--no-per-tracker", action="store_true")
+    parser.add_argument("--no-device-metrics", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--staged", type=int, default=0)
     args = parser.parse_args()
@@ -213,6 +214,22 @@ def main() -> int:
             f"{seq_frames} frames): {per_tracker}",
             file=sys.stderr,
         )
+    # Device-resident split: what the chip itself sustains once frames are
+    # in HBM (the host->device link is the e2e bottleneck on this tunneled
+    # host — BENCH.md; on PCIe-attached production hosts this is the
+    # pipeline's actual ceiling). Reuses the warm compiled fused steps.
+    device_split = None
+    if not args.no_device_metrics and not args.smoke:
+        pipe = getattr(runner, "_fused_pipeline", None)
+        if pipe is not None:
+            from padel_analytics_tpu.utils.video import frame_generator
+
+            with contextlib.redirect_stdout(sys.stderr):
+                device_split = pipe.measure_device_split(
+                    frame_generator(video), n, n_chunks=4
+                )
+            print(f"bench: device-resident split {device_split}", file=sys.stderr)
+
     record = {
         "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
         "value": round(fps, 2),
@@ -222,6 +239,13 @@ def main() -> int:
     if per_tracker is not None:
         record["per_tracker_fps_batch8"] = per_tracker
         record["per_tracker_frames"] = seq_frames
+    if device_split is not None:
+        record["device_resident_fps"] = device_split["device_fps"]
+        record["device_resident_ms_per_frame"] = device_split["device_ms_per_frame"]
+        record["device_resident_split_s"] = {
+            k: v for k, v in device_split.items()
+            if k.endswith("_s")
+        }
     print(json.dumps(record))
     return 0
 

@@ -881,6 +881,124 @@ class FusedPipeline:
 
     # ------------------------------------------------------------------
 
+    def measure_device_split(
+        self,
+        frame_iter: Iterable[np.ndarray],
+        total_frames: int,
+        n_chunks: int = 4,
+    ) -> dict:
+        """Device-resident phase timing for the fused sub-steps.
+
+        Packs and uploads `n_chunks` chunks once (each perturbed by one
+        byte so the transport's replay cache cannot return a prior run's
+        results — BENCH.md measurement rules), then wall-clocks each
+        sub-step phase over the resident buffers, forcing completion by
+        materializing every packed output (block_until_ready is a no-op
+        on tunneled transports). Intended to run on an already-warm
+        pipeline (the steps come from the same cache `run` populates), so
+        the numbers are pure dispatch+execute — the device-side throughput
+        the link otherwise hides.
+
+        Returns {"pack_s", "upload_s", "det_s", "pose_s", "ball_s",
+        ["court_s",] "frames", "device_ms_per_frame", "device_fps"}.
+        """
+        import time
+
+        b = self.chunk
+        ball = self.ball
+        seq_len = ball.tracknet_seq_len
+        median_resized, median_src, fw, _quirk, n, src_hw = (
+            self._gather_setup(frame_iter, total_frames)
+        )
+        self._check_ingest(src_hw)
+        key = (src_hw, b, ball.bg_mode, self.ingest, self.court_mode)
+        if key not in self._step_cache:
+            self._step_cache[key] = (
+                jax.jit(self._build_det_step(src_hw)),
+                jax.jit(self._build_pose_step(src_hw)),
+                jax.jit(self._build_ball_step(src_hw)),
+                jax.jit(self._build_court_step(src_hw))
+                if self.court_mode in ("yolo", "resnet")
+                else None,
+            )
+        det_step, pose_step, ball_step, court_step = self._step_cache[key]
+
+        n_chunks = max(1, min(n_chunks, n // b))
+        frames_used = n_chunks * b
+        split: dict = {}
+
+        # ---- pack + upload (sync'd per chunk) ----
+        fds = []
+        pack_s = 0.0
+        t0 = time.perf_counter()
+        for k in range(n_chunks):
+            lo = k * b
+            fw.fill_to(lo + b)
+            chunk = [fw.get(i) for i in range(lo, lo + b)]
+            tp = time.perf_counter()
+            arr = self._pack_chunk(chunk)
+            if not arr.flags.writeable:
+                arr = arr.copy()
+            arr.flat[k] ^= 1  # replay-cache defeat: distinct content
+            pack_s += time.perf_counter() - tp
+            fd = jnp.asarray(arr)
+            np.asarray(fd[(0,) * fd.ndim])  # force the upload
+            fds.append(fd)
+            fw.drop_below(lo + b)
+        split["pack_s"] = round(pack_s, 3)
+        split["upload_s"] = round(time.perf_counter() - t0 - pack_s, 3)
+
+        median_dev = jnp.asarray(median_resized)
+        median_src_dev = jnp.asarray(median_src)
+        coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
+        n_ext_pad = (-(-(n + seq_len - 1) // b)) * b + b
+        table = np.zeros((n_ext_pad, seq_len), np.float32)
+        table[seq_len - 1 : seq_len - 1 + n] = coef
+        coef_table_dev = jnp.asarray(table)
+        fc = jnp.zeros(
+            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
+            jnp.float32,
+        )
+        hc = jnp.zeros((seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32)
+        swap = jnp.zeros(b, jnp.float32)
+
+        def phase(name, fn):
+            t0 = time.perf_counter()
+            outs = [fn(fd) for fd in fds]
+            for o in outs:
+                np.asarray(o)
+            split[name] = round(time.perf_counter() - t0, 3)
+
+        phase("det_s", lambda fd: det_step(self.players.engine.variables, fd))
+        phase("pose_s", lambda fd: pose_step(self.pose.engine.variables, fd))
+
+        t0 = time.perf_counter()
+        outs = []
+        for k, fd in enumerate(fds):
+            pk, fc, hc = ball_step(
+                ball.tracknet.variables, fd, median_dev, median_src_dev,
+                fc, hc, coef_table_dev, k * b, swap,
+            )
+            outs.append(pk)
+        for o in outs:
+            np.asarray(o)
+        split["ball_s"] = round(time.perf_counter() - t0, 3)
+
+        compute_s = split["det_s"] + split["pose_s"] + split["ball_s"]
+        if court_step is not None:
+            phase(
+                "court_s",
+                lambda fd: court_step(self.court.engine.variables, fd),
+            )
+            compute_s += split["court_s"]
+
+        split["frames"] = frames_used
+        split["device_ms_per_frame"] = round(compute_s / frames_used * 1e3, 2)
+        split["device_fps"] = round(frames_used / compute_s, 2)
+        return split
+
+    # ------------------------------------------------------------------
+
     def run_mesh(
         self,
         frame_iter: Iterable[np.ndarray],

@@ -1,4 +1,11 @@
 from .evaluate import detection_map, oks
+from .resnet_court import (
+    CourtTrainState,
+    court_regression_loss,
+    init_court_train_state,
+    make_court_train_step,
+    normalize_court_targets,
+)
 from .tracknet import (
     TrackNetTrainState,
     gaussian_heatmap_labels,
@@ -15,8 +22,13 @@ from .yolo import (
 )
 
 __all__ = [
+    "CourtTrainState",
     "TrackNetTrainState",
     "YoloTrainState",
+    "court_regression_loss",
+    "init_court_train_state",
+    "make_court_train_step",
+    "normalize_court_targets",
     "detection_map",
     "gaussian_heatmap_labels",
     "init_yolo_train_state",

@@ -166,6 +166,20 @@ def test_fused_real_models_smoke(rng):
     assert all(b.visibility in (0, 1) for b in out["ball"])
 
 
+def test_measure_device_split(rng):
+    """Device-resident phase timing (bench.py's device metrics) returns a
+    complete, positive split and leaves results consistent."""
+    frames = _make_frames(rng)
+    players, pose, ball, court = _make_trackers()
+    fused = FusedPipeline(players, pose, ball, court, chunk=5, ingest="i420")
+    split = fused.measure_device_split(iter(frames), total_frames=N, n_chunks=3)
+    assert split["frames"] == 15
+    for k in ("pack_s", "upload_s", "det_s", "pose_s", "ball_s"):
+        assert split[k] >= 0.0
+    assert split["device_fps"] > 0
+    assert split["device_ms_per_frame"] > 0
+
+
 def test_fused_detects_court_mode():
     """Model-based court modes join the fused schedule as a fourth
     sub-step (tests/test_fused_court.py checks output parity)."""
