@@ -171,7 +171,8 @@ def main() -> int:
         for tracker in runner.trackers.values():
             tracker.save_path = None
         elapsed = []
-        for _ in range(1 if args.smoke else 2):
+        max_passes = 1 if args.smoke else 3
+        for i in range(max_passes):
             runner.restart()
             t0 = time.perf_counter()
             runner.run()
@@ -183,6 +184,10 @@ def main() -> int:
                 f"bench: timed pass {elapsed[-1]:.2f}s for {n} frames; "
                 f"stages {runner.stage_times}"
             )
+            # Two consistent passes are enough; the third runs only when
+            # they disagree >1.5x (the shared tunnel's congestion spikes).
+            if len(elapsed) == 2 and max(elapsed) / min(elapsed) < 1.5:
+                break
         fps = n / min(elapsed)
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded
@@ -204,8 +209,11 @@ def main() -> int:
             runner.restart()
             runner.stage_times.clear()
             runner.run()
+        # Fixed-court "inference" is a constant-time list copy (no model);
+        # a ~0s stage would print as a absurd 6-digit fps, so report it as
+        # the non-number it is.
         per_tracker = {
-            name: round(seq_frames / t, 2)
+            name: (round(seq_frames / t, 2) if t > 0.01 else "no-op")
             for name, t in runner.stage_times.items()
             if t > 0 and name in tracker_names
         }
