@@ -115,7 +115,11 @@ def main(argv=None) -> int:
         return img01, (img.shape[1], img.shape[0])
 
     rng = np.random.default_rng(0)
-    b = args.batch
+    # Clamp the batch to the dataset (a dataset smaller than --batch would
+    # otherwise train ZERO steps and silently save untrained weights).
+    b = min(args.batch, len(paths))
+    if len(paths) % b:
+        print(f"train_court: dropping {len(paths) % b} remainder images/epoch")
     for epoch in range(args.epochs):
         order = rng.permutation(len(paths))
         t0 = time.perf_counter()

@@ -123,6 +123,16 @@ def main(argv=None) -> int:
         args.images, args.labels, args.max_gt
     )
     print(f"train_yolo: {len(paths)} images, pose={pose}")
+    if pose and kpts_n is None:
+        raise ValueError(
+            f"--keypoints {args.keypoints} but no label file carries "
+            "keypoint triplets (lines must be 'class cx cy w h kx ky kv ...')"
+        )
+    if pose and kpts_n.shape[2] != args.keypoints:
+        raise ValueError(
+            f"--keypoints {args.keypoints} but labels carry "
+            f"{kpts_n.shape[2]} keypoints per instance"
+        )
 
     def load_image(p: Path) -> np.ndarray:
         img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
@@ -131,7 +141,13 @@ def main(argv=None) -> int:
         return np.clip(np.floor(out + 0.5), 0, 255).astype(np.float32) / 255.0
 
     rng = np.random.default_rng(0)
-    b = args.batch
+    # Clamp the batch to the dataset (a dataset smaller than --batch would
+    # otherwise train ZERO steps and silently save untrained weights); the
+    # epoch loop drops only a < b remainder, as a fixed batch shape means
+    # one compiled step.
+    b = min(args.batch, len(paths))
+    if len(paths) % b:
+        print(f"train_yolo: dropping {len(paths) % b} remainder images/epoch")
     s = args.imgsz
     for epoch in range(args.epochs):
         order = rng.permutation(len(paths))

@@ -706,6 +706,50 @@ class FusedPipeline:
 
     # ------------------------------------------------------------------
 
+    def _get_steps(self, src_hw: tuple[int, int]):
+        """Jitted (det, pose, ball, court-or-None) sub-steps, cached per
+        (resolution, chunk, bg_mode, ingest, court_mode)."""
+        key = (src_hw, self.chunk, self.ball.bg_mode, self.ingest,
+               self.court_mode)
+        if key not in self._step_cache:
+            self._step_cache[key] = (
+                jax.jit(self._build_det_step(src_hw)),
+                jax.jit(self._build_pose_step(src_hw)),
+                jax.jit(self._build_ball_step(src_hw)),
+                jax.jit(self._build_court_step(src_hw))
+                if self.court_mode in ("yolo", "resnet")
+                else None,
+            )
+        return self._step_cache[key]
+
+    def _ball_device_setup(self, n: int, median_resized, median_src):
+        """Device-resident ball-branch state for an n-frame clip:
+        (median_dev, median_src_dev, coef_table_dev, frame_carry,
+        heat_carry). The coefficient table is padded so chunk k's rows are
+        table[lo : lo + b] (row lo-7+j's coefficients live at index lo+j;
+        out-of-range frames are zero rows)."""
+        b = self.chunk
+        ball = self.ball
+        seq_len = ball.tracknet_seq_len
+        coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
+        n_ext_pad = (-(-(n + seq_len - 1) // b)) * b + b
+        table = np.zeros((n_ext_pad, seq_len), np.float32)
+        table[seq_len - 1 : seq_len - 1 + n] = coef
+        frame_carry = jnp.zeros(
+            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
+            jnp.float32,
+        )
+        heat_carry = jnp.zeros(
+            (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
+        )
+        return (
+            jnp.asarray(median_resized),
+            jnp.asarray(median_src),
+            jnp.asarray(table),
+            frame_carry,
+            heat_carry,
+        )
+
     def run(
         self,
         frame_iter: Iterable[np.ndarray],
@@ -728,35 +772,9 @@ class FusedPipeline:
         )
         self._check_ingest(src_hw)
 
-        key = (src_hw, b, ball.bg_mode, self.ingest, self.court_mode)
-        if key not in self._step_cache:
-            self._step_cache[key] = (
-                jax.jit(self._build_det_step(src_hw)),
-                jax.jit(self._build_pose_step(src_hw)),
-                jax.jit(self._build_ball_step(src_hw)),
-                jax.jit(self._build_court_step(src_hw))
-                if self.court_mode in ("yolo", "resnet")
-                else None,
-            )
-        det_step, pose_step, ball_step, court_step = self._step_cache[key]
-
-        coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
-        frame_carry = jnp.zeros(
-            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
-            jnp.float32,
-        )
-        heat_carry = jnp.zeros(
-            (seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32
-        )
-        median_dev = jnp.asarray(median_resized)
-        median_src_dev = jnp.asarray(median_src)
-        # Device-resident coefficient table, padded so chunk k's rows are
-        # table[lo : lo + b] (row lo-7+j's coefficients live at index lo+j;
-        # out-of-range frames are zero rows).
-        n_ext_pad = (-(-(n + seq_len - 1) // b)) * b + b
-        table = np.zeros((n_ext_pad, seq_len), np.float32)
-        table[seq_len - 1 : seq_len - 1 + n] = coef
-        coef_table_dev = jnp.asarray(table)
+        det_step, pose_step, ball_step, court_step = self._get_steps(src_hw)
+        (median_dev, median_src_dev, coef_table_dev, frame_carry,
+         heat_carry) = self._ball_device_setup(n, median_resized, median_src)
 
         # Zero-extend the clip by seq_len-1 frames: every output frame
         # (including the tail) is then emitted by the uniform chunk loop —
@@ -900,40 +918,32 @@ class FusedPipeline:
         the link otherwise hides.
 
         Returns {"pack_s", "upload_s", "det_s", "pose_s", "ball_s",
-        ["court_s",] "frames", "device_ms_per_frame", "device_fps"}.
+        ["court_s",] "frames", "device_ms_per_frame", "device_fps"}, or
+        None when the clip is shorter than one chunk.
         """
         import time
 
         b = self.chunk
         ball = self.ball
-        seq_len = ball.tracknet_seq_len
         median_resized, median_src, fw, _quirk, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
+        if n < b:
+            return None
         self._check_ingest(src_hw)
-        key = (src_hw, b, ball.bg_mode, self.ingest, self.court_mode)
-        if key not in self._step_cache:
-            self._step_cache[key] = (
-                jax.jit(self._build_det_step(src_hw)),
-                jax.jit(self._build_pose_step(src_hw)),
-                jax.jit(self._build_ball_step(src_hw)),
-                jax.jit(self._build_court_step(src_hw))
-                if self.court_mode in ("yolo", "resnet")
-                else None,
-            )
-        det_step, pose_step, ball_step, court_step = self._step_cache[key]
+        det_step, pose_step, ball_step, court_step = self._get_steps(src_hw)
 
-        n_chunks = max(1, min(n_chunks, n // b))
+        n_chunks = min(n_chunks, n // b)
         frames_used = n_chunks * b
-        split: dict = {}
+        raw: dict[str, float] = {}
 
-        # ---- pack + upload (sync'd per chunk) ----
+        # ---- decode up front (untimed), then pack + upload per chunk ----
+        fw.fill_to(frames_used)
         fds = []
         pack_s = 0.0
         t0 = time.perf_counter()
         for k in range(n_chunks):
             lo = k * b
-            fw.fill_to(lo + b)
             chunk = [fw.get(i) for i in range(lo, lo + b)]
             tp = time.perf_counter()
             arr = self._pack_chunk(chunk)
@@ -945,21 +955,12 @@ class FusedPipeline:
             np.asarray(fd[(0,) * fd.ndim])  # force the upload
             fds.append(fd)
             fw.drop_below(lo + b)
-        split["pack_s"] = round(pack_s, 3)
-        split["upload_s"] = round(time.perf_counter() - t0 - pack_s, 3)
+        raw["pack_s"] = pack_s
+        raw["upload_s"] = time.perf_counter() - t0 - pack_s
 
-        median_dev = jnp.asarray(median_resized)
-        median_src_dev = jnp.asarray(median_src)
-        coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
-        n_ext_pad = (-(-(n + seq_len - 1) // b)) * b + b
-        table = np.zeros((n_ext_pad, seq_len), np.float32)
-        table[seq_len - 1 : seq_len - 1 + n] = coef
-        coef_table_dev = jnp.asarray(table)
-        fc = jnp.zeros(
-            (seq_len - 1, ball.HEIGHT, ball.WIDTH, frame_channels(ball.bg_mode)),
-            jnp.float32,
+        (median_dev, median_src_dev, coef_table_dev, fc, hc) = (
+            self._ball_device_setup(n, median_resized, median_src)
         )
-        hc = jnp.zeros((seq_len - 1, seq_len, ball.HEIGHT, ball.WIDTH), jnp.float32)
         swap = jnp.zeros(b, jnp.float32)
 
         def phase(name, fn):
@@ -967,7 +968,7 @@ class FusedPipeline:
             outs = [fn(fd) for fd in fds]
             for o in outs:
                 np.asarray(o)
-            split[name] = round(time.perf_counter() - t0, 3)
+            raw[name] = time.perf_counter() - t0
 
         phase("det_s", lambda fd: det_step(self.players.engine.variables, fd))
         phase("pose_s", lambda fd: pose_step(self.pose.engine.variables, fd))
@@ -982,19 +983,21 @@ class FusedPipeline:
             outs.append(pk)
         for o in outs:
             np.asarray(o)
-        split["ball_s"] = round(time.perf_counter() - t0, 3)
+        raw["ball_s"] = time.perf_counter() - t0
 
-        compute_s = split["det_s"] + split["pose_s"] + split["ball_s"]
         if court_step is not None:
             phase(
                 "court_s",
                 lambda fd: court_step(self.court.engine.variables, fd),
             )
-            compute_s += split["court_s"]
+        compute_s = sum(
+            v for k, v in raw.items() if k not in ("pack_s", "upload_s")
+        )
 
+        split: dict = {k: round(v, 3) for k, v in raw.items()}
         split["frames"] = frames_used
         split["device_ms_per_frame"] = round(compute_s / frames_used * 1e3, 2)
-        split["device_fps"] = round(frames_used / compute_s, 2)
+        split["device_fps"] = round(frames_used / max(compute_s, 1e-9), 2)
         return split
 
     # ------------------------------------------------------------------

@@ -106,8 +106,14 @@ def hflip_boxes(
     boxes: jnp.ndarray,  # (B, M, 4) xyxy px
     kpts: jnp.ndarray | None = None,  # (B, M, K, 3)
     p: float = 0.5,
+    flip_idx=None,  # (K,) keypoint permutation for mirrored skeletons
 ):
-    """Random horizontal flip per image, mirroring boxes (and keypoints)."""
+    """Random horizontal flip per image, mirroring boxes (and keypoints).
+
+    flip_idx: for skeletons with left/right keypoint pairs, the index
+    permutation to apply on flipped images (ultralytics' fliplr flip_idx)
+    — mirroring a left-ankle's coordinates without relabeling it as the
+    right ankle teaches inverted left/right semantics."""
     b = images.shape[0]
     w = images.shape[2]
     flip = jax.random.uniform(rng, (b,)) < p
@@ -121,6 +127,11 @@ def hflip_boxes(
         return flipped, out_boxes, None
     kx = jnp.where(flip[:, None, None], w - kpts[..., 0], kpts[..., 0])
     out_kpts = jnp.concatenate([kx[..., None], kpts[..., 1:]], axis=-1)
+    if flip_idx is not None:
+        fi = jnp.asarray(flip_idx, jnp.int32)
+        out_kpts = jnp.where(
+            flip[:, None, None, None], out_kpts[:, :, fi, :], out_kpts
+        )
     return flipped, out_boxes, out_kpts
 
 

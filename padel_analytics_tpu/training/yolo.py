@@ -158,6 +158,32 @@ def _dfl_loss(box_logits: jnp.ndarray, target_dist: jnp.ndarray) -> jnp.ndarray:
     return -(ll * wl + lr * wr).mean(axis=-1)
 
 
+def assign_batch(
+    pd_scores: jnp.ndarray,
+    pd_bboxes: jnp.ndarray,
+    anc_points_px: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+):
+    """Batched task-aligned assignment on DETACHED predictions.
+
+    The assigner builds the training TARGETS; ultralytics runs it under
+    torch.no_grad on detached preds. Without the stop_gradient,
+    value_and_grad would add a spurious term through the BCE labels and
+    loss weights (the network could lower loss by suppressing alignment),
+    and align = cls_score**0.5 has an infinite derivative at exactly 0 —
+    a NaN factory once a sigmoid underflows."""
+    return jax.vmap(task_aligned_assign, in_axes=(0, 0, None, 0, 0, 0))(
+        jax.lax.stop_gradient(pd_scores),
+        jax.lax.stop_gradient(pd_bboxes),
+        anc_points_px,
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+    )
+
+
 def yolo_detection_loss(
     out: dict,
     anc_points_px: jnp.ndarray,  # (A, 2)
@@ -165,6 +191,7 @@ def yolo_detection_loss(
     gt_labels: jnp.ndarray,  # (B, M)
     gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixels
     mask_gt: jnp.ndarray,  # (B, M)
+    targets=None,  # precomputed assign_batch output (pose loss reuses it)
 ) -> tuple[jnp.ndarray, dict]:
     """v8DetectionLoss: BCE cls + CIoU box + DFL, task-aligned targets."""
     pd_scores = out["scores"]
@@ -172,9 +199,11 @@ def yolo_detection_loss(
     cls_logits = out["cls_logits"]
     box_logits = out["box_logits"]
 
-    fg, _, tgt_scores, tgt_boxes = jax.vmap(
-        task_aligned_assign, in_axes=(0, 0, None, 0, 0, 0)
-    )(pd_scores, pd_bboxes, anc_points_px, gt_labels, gt_bboxes, mask_gt)
+    if targets is None:
+        targets = assign_batch(
+            pd_scores, pd_bboxes, anc_points_px, gt_labels, gt_bboxes, mask_gt
+        )
+    fg, _, tgt_scores, tgt_boxes = targets
 
     tss = jnp.maximum(jnp.sum(tgt_scores), 1.0)
 
@@ -215,14 +244,15 @@ def yolo_pose_loss(
 ) -> tuple[jnp.ndarray, dict]:
     """v8PoseLoss: detection loss + OKS-style keypoint location loss +
     keypoint-visibility BCE on the assigned anchors."""
-    det_total, parts = yolo_detection_loss(
-        out, anc_points_px, strides, gt_labels, gt_bboxes, mask_gt
+    targets = assign_batch(
+        out["scores"], out["boxes"], anc_points_px, gt_labels, gt_bboxes,
+        mask_gt,
     )
-
-    pd_scores, pd_bboxes = out["scores"], out["boxes"]
-    fg, tgt_idx, tgt_scores, tgt_boxes = jax.vmap(
-        task_aligned_assign, in_axes=(0, 0, None, 0, 0, 0)
-    )(pd_scores, pd_bboxes, anc_points_px, gt_labels, gt_bboxes, mask_gt)
+    det_total, parts = yolo_detection_loss(
+        out, anc_points_px, strides, gt_labels, gt_bboxes, mask_gt,
+        targets=targets,
+    )
+    fg, tgt_idx, tgt_scores, tgt_boxes = targets
     tss = jnp.maximum(jnp.sum(tgt_scores), 1.0)
     weight = jnp.sum(tgt_scores, axis=-1) * fg  # (B, A)
 

@@ -84,7 +84,9 @@ def test_train_court_cli_end_to_end(tmp_path):
     rc = train_main(
         [
             "--images", str(img_dir), "--keypoints", str(kp_json),
-            "--imgsz", "32", "--epochs", "1", "--batch", "4",
+            # batch 8 > 4 images: exercises the dataset-size clamp (an
+            # unclamped loop would train ZERO steps and still "succeed")
+            "--imgsz", "32", "--epochs", "1", "--batch", "8",
             "--out", str(out), "--stage-sizes", "1,1,1,1",
             "--data-parallel", "4", "--model-parallel", "2",
         ]

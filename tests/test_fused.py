@@ -180,6 +180,13 @@ def test_measure_device_split(rng):
     assert split["device_ms_per_frame"] > 0
 
 
+def test_measure_device_split_short_clip_returns_none(rng):
+    frames = _make_frames(rng)
+    players, pose, ball, court = _make_trackers()
+    fused = FusedPipeline(players, pose, ball, court, chunk=N + 4)
+    assert fused.measure_device_split(iter(frames), total_frames=N) is None
+
+
 def test_fused_detects_court_mode():
     """Model-based court modes join the fused schedule as a fourth
     sub-step (tests/test_fused_court.py checks output parity)."""

@@ -136,11 +136,14 @@ def test_pose_training_step_runs(rng):
                     2.0,
                 ]
     losses = []
-    for _ in range(6):
+    # ~10 steps of adam warmup wobble before the drop (the assigner's
+    # stop_gradient removed the old label-side shortcut that made the
+    # first steps fall artificially fast), then steady descent.
+    for _ in range(25):
         state, loss = step(state, images, labels, boxes, jnp.asarray(kpts), mask)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    assert losses[-1] < 0.7 * losses[0], losses[::5]
 
 
 def test_detection_loss_no_gt(rng):
@@ -258,6 +261,51 @@ def test_train_yolo_cli_end_to_end(tmp_path):
     assert o["boxes"].shape[0] == 2
 
 
+def test_evaluate_cli_end_to_end(tmp_path, capsys):
+    """The eval CLI scores a checkpoint on an ultralytics-layout dataset
+    and prints one JSON line with mAP (and mean-OKS in pose mode)."""
+    import cv2
+    import json
+
+    from padel_analytics_tpu.apps.evaluate import main as eval_main
+    from padel_analytics_tpu.trackers import _engine
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    r = np.random.default_rng(1)
+    for i in range(3):
+        img = np.full((64, 64, 3), 30, np.uint8)
+        cv2.rectangle(img, (16, 16), (48, 48), (220, 220, 220), -1)
+        img += r.integers(0, 8, img.shape, dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        (lbl_dir / f"im{i}.txt").write_text(
+            "0 0.5 0.5 0.5 0.5 0.4 0.4 2 0.6 0.6 2\n"
+        )
+    # random-weight pose checkpoint (scores plumbing, not accuracy)
+    model = YOLOv8(variant="n", num_classes=1, num_keypoints=2)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    w = tmp_path / "pose.msgpack"
+    _engine.save_variables(variables, str(w))
+
+    rc = eval_main(
+        [
+            "--images", str(img_dir), "--labels", str(lbl_dir),
+            "--weights", str(w), "--variant", "n", "--imgsz", "64",
+            "--keypoints", "2", "--conf", "0.0", "--batch", "2",
+        ]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["images"] == 3
+    assert 0.0 <= rec["map"] <= 1.0
+    assert "mean_oks" in rec
+
+
 def test_hflip_boxes_geometry(rng):
     from padel_analytics_tpu.training.augmentation import hflip_boxes
 
@@ -275,6 +323,50 @@ def test_hflip_boxes_geometry(rng):
     same_im, same_b, _ = hflip_boxes(key, images, boxes, kpts, p=0.0)
     np.testing.assert_array_equal(np.asarray(same_im), np.asarray(images))
     np.testing.assert_array_equal(np.asarray(same_b), np.asarray(boxes))
+
+
+def test_hflip_flip_idx_relabels_lr_pairs(rng):
+    """Mirrored skeletons must swap left/right keypoint identities
+    (ultralytics fliplr flip_idx), not just mirror coordinates."""
+    from padel_analytics_tpu.training.augmentation import hflip_boxes
+
+    images = jnp.zeros((1, 8, 16, 3), jnp.float32)
+    boxes = jnp.asarray([[[2.0, 1.0, 6.0, 5.0]]])
+    # kpt 0 = "left" at x=3, kpt 1 = "right" at x=5
+    kpts = jnp.asarray([[[[3.0, 2.0, 2.0], [5.0, 4.0, 1.0]]]])
+    key = jax.random.PRNGKey(0)
+    _, _, out_k = hflip_boxes(key, images, boxes, kpts, p=1.0, flip_idx=[1, 0])
+    ok = np.asarray(out_k)[0, 0]
+    # slot 0 now carries the mirrored former "right" kpt (16-5=11, y=4, v=1)
+    np.testing.assert_allclose(ok[0], [11.0, 4.0, 1.0])
+    np.testing.assert_allclose(ok[1], [13.0, 2.0, 2.0])
+    # p=0 with flip_idx: identity (no permutation on unflipped images)
+    _, _, same_k = hflip_boxes(key, images, boxes, kpts, p=0.0, flip_idx=[1, 0])
+    np.testing.assert_array_equal(np.asarray(same_k), np.asarray(kpts))
+
+
+def test_assigner_targets_carry_no_gradient(rng):
+    """The task-aligned targets are constants w.r.t. the predictions
+    (ultralytics runs the assigner under no_grad): perturbing the loss
+    through ONLY the label side must contribute zero gradient."""
+    from padel_analytics_tpu.training.yolo import assign_batch
+
+    a = 8
+    anc = jnp.asarray(rng.uniform(0, 32, (a, 2)).astype(np.float32))
+    gt_labels = jnp.zeros((1, 2), jnp.int32)
+    gt_boxes = jnp.asarray([[[2.0, 2.0, 30.0, 30.0], [0, 0, 0, 0]]])
+    mask_gt = jnp.asarray([[True, False]])
+
+    def label_side_sum(scores):
+        pd_boxes = jnp.tile(gt_boxes[:, :1], (1, a, 1))
+        _, _, tgt_scores, _ = assign_batch(
+            scores, pd_boxes, anc, gt_labels, gt_boxes, mask_gt
+        )
+        return jnp.sum(tgt_scores)
+
+    scores = jnp.full((1, a, 1), 0.7)
+    g = jax.grad(label_side_sum)(scores)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
 def test_mosaic4_geometry(rng):
