@@ -323,9 +323,12 @@ class ProjectedCourt:
         output = frame.copy()
         (x0, y0) = self.background_position.top_left
         (x1, y1) = self.background_position.bottom_right
-        roi = output[y0:y1, x0:x1]
+        # +1: cv2.rectangle's bottom_right is INCLUSIVE — the reference's
+        # mask covers that edge row/column (byte-parity proven in
+        # tests/test_reference_twin_analytics.py)
+        roi = output[y0 : y1 + 1, x0 : x1 + 1]
         white = np.full_like(roi, 255)
-        output[y0:y1, x0:x1] = cv2.addWeighted(
+        output[y0 : y1 + 1, x0 : x1 + 1] = cv2.addWeighted(
             roi, self.ALPHA, white, 1 - self.ALPHA, 0
         )
         return output

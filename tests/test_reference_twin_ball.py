@@ -29,9 +29,6 @@ the per-batch predict_modified outputs (the complete per-frame stream in
 frame order) and tolerates the terminal KeyError.
 """
 
-import importlib.util
-import sys
-import types
 from types import SimpleNamespace
 
 import numpy as np
@@ -40,47 +37,10 @@ import torch
 
 import jax.numpy as jnp
 
-REF = "/root/reference"
+from _reference_loader import reference_ball_module
 
 W_SRC, H_SRC, N = 128, 96, 26
 W_NET, H_NET = 128, 72  # shrunk from 512x288 (class attrs, patched below)
-
-
-def _load_reference_ball_module():
-    """Import the reference ball tracker without executing
-    trackers/__init__.py (which imports ultralytics)."""
-    for name, attrs in (("supervision", {"VideoInfo": object}), ("parse", {})):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    if "trackers" not in sys.modules:
-        pkg = types.ModuleType("trackers")
-        pkg.__path__ = [f"{REF}/trackers"]
-        sys.modules["trackers"] = pkg
-        sub = types.ModuleType("trackers.ball_tracker")
-        sub.__path__ = [f"{REF}/trackers/ball_tracker"]
-        sys.modules["trackers.ball_tracker"] = sub
-
-    def load(name, path):
-        if name in sys.modules and getattr(sys.modules[name], "__file__", None):
-            return sys.modules[name]
-        spec = importlib.util.spec_from_file_location(name, path)
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[name] = mod
-        spec.loader.exec_module(mod)
-        return mod
-
-    load("trackers.tracker", f"{REF}/trackers/tracker.py")
-    load("trackers.ball_tracker.models", f"{REF}/trackers/ball_tracker/models.py")
-    load("trackers.ball_tracker.iterable", f"{REF}/trackers/ball_tracker/iterable.py")
-    load("trackers.ball_tracker.predict", f"{REF}/trackers/ball_tracker/predict.py")
-    load("trackers.ball_tracker.dataset", f"{REF}/trackers/ball_tracker/dataset.py")
-    return load(
-        "trackers.ball_tracker.ball_tracker",
-        f"{REF}/trackers/ball_tracker/ball_tracker.py",
-    )
 
 
 # Channel-WEIGHTED indicator: sensitive to RGB vs BGR order (weights are
@@ -135,7 +95,7 @@ def test_ball_path_matches_reference_exactly(tmp_path):
     divergence we document in PARITY.md rather than replicate."""
     import cv2
 
-    ref_mod = _load_reference_ball_module()
+    ref_mod = reference_ball_module()
 
     # tiny real checkpoint in the reference's dict format (consumed at
     # ball_tracker.py:253-274); the model is then swapped for the fake
