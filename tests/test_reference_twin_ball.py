@@ -29,6 +29,7 @@ the per-batch predict_modified outputs (the complete per-frame stream in
 frame order) and tolerates the terminal KeyError.
 """
 
+import json
 from types import SimpleNamespace
 
 import numpy as np
@@ -178,3 +179,70 @@ def test_ball_path_matches_reference_exactly(tmp_path):
     # the comparison must be non-trivial: the blob is detected and moves
     assert sum(ref_vis) >= N - 2
     assert len(set(zip(ref_x, ref_y))) > 5
+
+
+def test_json_cache_interop_with_reference(tmp_path):
+    """Cache files cross frameworks: predictions saved by OUR tracker load
+    through the reference's own load_predictions (and back), object for
+    object — a reference user can switch mid-project and keep caches."""
+    import cv2
+
+    ref_mod = reference_ball_module()
+
+    from padel_analytics_tpu.config import BallTrackerConfig
+    from padel_analytics_tpu.trackers import BallTracker
+    from padel_analytics_tpu.utils.video import VideoInfo
+
+    frames_rgb = [
+        cv2.cvtColor(f, cv2.COLOR_BGR2RGB) for f in _make_clip_bgr()
+    ]
+    ours_json = tmp_path / "ball_ours.json"
+    ball = BallTracker(
+        None, None, compute_dtype=jnp.float32, save_path=str(ours_json),
+        config=BallTrackerConfig(height=H_NET, width=W_NET, batch_size=4,
+                                 median_max_sample_num=6),
+    )
+    ball.tracknet.model = _JaxFake()
+    ball.video_info_post_init(
+        VideoInfo(width=W_SRC, height=H_SRC, fps=10.0, total_frames=N)
+    )
+    ball.predict_and_update(iter(frames_rgb), total_frames=N)
+    ball.save_predictions()
+    # normalize through JSON (tuples become lists) — the on-disk format is
+    # what must interoperate, not in-memory Python types
+    ours_serialized = json.loads(
+        json.dumps([b.serialize() for b in ball.results.predictions])
+    )
+
+    # reference loads OUR cache through its own machinery
+    net = ref_mod.get_model("TrackNet", 8, "concat")
+    ckpt = tmp_path / "tracknet.pt"
+    torch.save(
+        {"param_dict": {"seq_len": 8, "bg_mode": "concat"},
+         "model": net.state_dict()},
+        str(ckpt),
+    )
+    ref = ref_mod.BallTracker(
+        tracking_model_path=str(ckpt),
+        inpainting_model_path=None,
+        batch_size=4,
+        median_max_sample_num=6,
+        load_path=str(ours_json),
+    )
+    assert len(ref.results.predictions) == N
+    assert json.loads(
+        json.dumps([b.serialize() for b in ref.results.predictions])
+    ) == ours_serialized
+
+    # and back: the reference's save_predictions round-trips into ours
+    ref_json = tmp_path / "ball_ref.json"
+    ref.save_path = str(ref_json)
+    ref.save_predictions()
+    ball2 = BallTracker(
+        None, None, compute_dtype=jnp.float32, load_path=str(ref_json),
+        config=BallTrackerConfig(height=H_NET, width=W_NET, batch_size=4,
+                                 median_max_sample_num=6),
+    )
+    assert json.loads(
+        json.dumps([b.serialize() for b in ball2.results.predictions])
+    ) == ours_serialized
