@@ -92,22 +92,37 @@ def test_two_process_halo_exchange_matches_single_process(tmp_path):
         lambda x: model.apply(variables, x), frames, median, mesh, seq_len=SEQ
     )
 
-    # Two processes x 4 devices.
-    port = _free_port()
+    # Two processes x 4 devices. One retry with a fresh port: on this
+    # single-core CI host the children compile concurrently and the gloo
+    # handshake can time out under full-suite load.
     src = _CHILD.format(repo=repo, h=H, w=W, n=N, seq=SEQ)
     script = tmp_path / "child.py"
     script.write_text(src)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(port)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    assert all(p.returncode == 0 for p in procs), outs
+    outs = []
+    for attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=600)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+                p.communicate()
+            if attempt == 0:
+                continue
+            raise
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            raise AssertionError(outs)
 
     line = next(
         l for l in outs[0].splitlines() if l.startswith("RESULT ")
