@@ -29,10 +29,31 @@ import os as _os
 
 if not _os.environ.get("PADEL_TPU_NO_COMPILE_CACHE"):
     try:
+        import hashlib as _hashlib
+
         import jax as _jax
 
-        _cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/padel_tpu_xla")
+        # Key the cache dir by a host fingerprint (CPU feature flags +
+        # jaxlib version): XLA:CPU AOT entries embed the compile host's
+        # machine features, and loading an entry produced on a different
+        # host can SIGILL/abort ("Machine type used for XLA:CPU
+        # compilation doesn't match the machine type for execution").
+        # Sessions migrate machines between rounds, so a shared dir
+        # poisons later runs; a per-host dir is always safe.
+        def _host_fingerprint() -> str:
+            bits = [getattr(_jax, "__version__", "?")]
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            bits.append(line.strip())
+                            break
+            except OSError:
+                pass
+            return _hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+        _cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.path.join(
+            _os.path.expanduser("~/.cache/padel_tpu_xla"), _host_fingerprint()
         )
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
