@@ -41,11 +41,9 @@ def main(argv=None) -> int:
     parser.add_argument("--top-k", type=int, default=128)
     args = parser.parse_args(argv)
 
-    import cv2
 
     from ..models.yolov8 import YOLOv8
     from ..ops.nms import batched_nms
-    from ..ops.resize import resize_plan
     from ..trackers import _engine
     from ..training.evaluate import detection_map, oks
     from .train_yolo import load_dataset
@@ -73,11 +71,15 @@ def main(argv=None) -> int:
         )
     print(f"evaluate: {len(paths)} images, pose={pose}", file=sys.stderr)
 
+    from ..trackers.players import _person_scores
+
     @jax.jit
     def step(images):
         out = model.apply(variables, images)
+        # Same candidate gating as the deployed trackers (classes=[0]
+        # argmax semantics): the eval must score what inference detects.
         boxes, scores, _, index, valid = batched_nms(
-            out["boxes"], out["scores"][..., 0],
+            out["boxes"], _person_scores(out["scores"]),
             conf_thres=args.conf, iou_thres=args.iou, top_k=args.top_k,
         )
         res = [boxes, scores, valid]
@@ -91,11 +93,10 @@ def main(argv=None) -> int:
             )
         return tuple(res)
 
+    from ..training.data import load_image_bicubic01
+
     def load_image(p) -> np.ndarray:
-        img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
-        plan = resize_plan(img.shape[:2], hw, "pil_bicubic")
-        out = np.asarray(plan.apply(jnp.asarray(img, jnp.float32)))
-        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.float32) / 255.0
+        return load_image_bicubic01(p, hw)[0]
 
     s = float(args.imgsz)
     pred_boxes, pred_scores, gt_all = [], [], []
@@ -130,16 +131,14 @@ def main(argv=None) -> int:
                 gk = kpts_n[i][m].copy()
                 gk[..., :2] *= s
                 pk_all = kall[j][keep]  # row-aligned with pb/ps
-                # greedy IoU matching pred->gt (score-descending) for OKS
-                from ..training.evaluate import _iou_matrix
+                # Same greedy matching rule as detection_map.
+                from ..training.evaluate import greedy_match
 
-                iou = _iou_matrix(pb, gb)
-                taken = np.zeros(len(gb), bool)
-                for r in np.argsort(-ps, kind="stable"):
-                    g = int(np.argmax(np.where(taken, -1.0, iou[r])))
-                    if iou[r, g] < 0.5 or taken[g]:
+                order, gt_idx = greedy_match(pb, ps, gb, 0.5)
+                for k, r in enumerate(order):
+                    g = gt_idx[k]
+                    if g < 0:
                         continue
-                    taken[g] = True
                     area = float(
                         max((gb[g, 2] - gb[g, 0]) * (gb[g, 3] - gb[g, 1]),
                             1e-9)

@@ -69,10 +69,8 @@ def main(argv=None) -> int:
     parser.add_argument("--stage-sizes", default="3,4,6,3")
     args = parser.parse_args(argv)
 
-    import cv2
 
     from ..models.resnet import ResNet50Regressor, imagenet_normalize
-    from ..ops.resize import resize_plan
     from ..parallel.mesh import batch_sharding, make_mesh, shard_params_for_tp
     from ..trackers import _engine
     from ..training.resnet_court import (
@@ -105,14 +103,13 @@ def main(argv=None) -> int:
     state.params = shard_params_for_tp(state.params, mesh)
     step = jax.jit(make_court_train_step(model, optimizer))
 
+    # PIL-parity bicubic squash to imgsz (the inference preprocessing,
+    # keypoints_tracker/iterable.py:16-25 semantics); shared with
+    # train_yolo/evaluate so train and eval preprocess identically.
+    from ..training.data import load_image_bicubic01
+
     def load_image(p: Path) -> tuple[np.ndarray, tuple[int, int]]:
-        img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
-        # PIL-parity bicubic squash to imgsz (the inference preprocessing,
-        # keypoints_tracker/iterable.py:16-25 semantics).
-        plan = resize_plan(img.shape[:2], hw, "pil_bicubic")
-        out = np.asarray(plan.apply(jnp.asarray(img, jnp.float32)))
-        img01 = np.clip(np.floor(out + 0.5), 0, 255).astype(np.float32) / 255.0
-        return img01, (img.shape[1], img.shape[0])
+        return load_image_bicubic01(p, hw)
 
     rng = np.random.default_rng(0)
     # Clamp the batch to the dataset (a dataset smaller than --batch would

@@ -87,10 +87,8 @@ def main(argv=None) -> int:
     parser.add_argument("--model-parallel", type=int, default=1)
     args = parser.parse_args(argv)
 
-    import cv2
 
     from ..models.yolov8 import YOLOv8
-    from ..ops.resize import resize_plan
     from ..parallel.mesh import batch_sharding, make_mesh, shard_params_for_tp
     from ..trackers import _engine
     from ..training.yolo import init_yolo_train_state, make_yolo_train_step
@@ -134,11 +132,10 @@ def main(argv=None) -> int:
             f"{kpts_n.shape[2]} keypoints per instance"
         )
 
+    from ..training.data import load_image_bicubic01
+
     def load_image(p: Path) -> np.ndarray:
-        img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
-        plan = resize_plan(img.shape[:2], hw, "pil_bicubic")
-        out = np.asarray(plan.apply(jnp.asarray(img, jnp.float32)))
-        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.float32) / 255.0
+        return load_image_bicubic01(p, hw)[0]
 
     rng = np.random.default_rng(0)
     # Clamp the batch to the dataset (a dataset smaller than --batch would

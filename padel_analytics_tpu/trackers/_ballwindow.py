@@ -39,6 +39,28 @@ def frame_channels(bg_mode: str) -> int:
     return _FRAME_CHANNELS[bg_mode]
 
 
+def median_model_resolution(
+    median, height: int, width: int, bg_mode: str
+):
+    """Median background at TrackNet model resolution.
+
+    'concat': PIL-parity bicubic resize of the uint8-cast median with
+    Pillow's rounding (iterable.py:76-81 — including the reference's
+    float-median -> uint8 pre-cast quirk). Other modes get a zeros
+    placeholder that keeps the window-step signature but is never
+    consumed. The ONE copy shared by the sequential ball path and the
+    fused pipeline's setup so the parity-critical recipe cannot diverge.
+    """
+    import numpy as np
+
+    if bg_mode != "concat":
+        return np.zeros((height, width, 3), np.uint8)
+    plan = resize_plan(median.shape[:2], (height, width), "pil_bicubic")
+    med = jnp.asarray(median.astype(np.uint8).astype(np.float32))
+    out = np.asarray(plan.apply(med))
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 def window_in_dim(bg_mode: str, seq_len: int) -> int:
     """TrackNet input channel count (get_model, ball_tracker.py:52-58).
     Delegates to make_tracknet so the parity-critical formula lives in

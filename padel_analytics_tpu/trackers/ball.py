@@ -50,7 +50,12 @@ from ..ops.heatmap import decode_heatmaps
 from ..ops.median import median_background
 from ..ops.resize import resize_plan
 from . import _engine
-from ._ballwindow import assemble_windows, frame_channels, make_frame_preprocess
+from ._ballwindow import (
+    assemble_windows,
+    frame_channels,
+    make_frame_preprocess,
+    median_model_resolution,
+)
 from .base import NoPredictSample, Tracker
 from .objects import Ball, TrackedObject
 
@@ -492,26 +497,12 @@ class BallTracker(Tracker):
                     buffered = []
             flush(buffered, swapped=False)
 
-        if self.bg_mode == "concat":
-            # Median resized to model resolution, uint8 (iterable.py:76-81).
-            plan = resize_plan(
-                self.median.shape[:2], (self.HEIGHT, self.WIDTH), "pil_bicubic"
-            )
-            med = np.asarray(
-                plan.apply(
-                    jnp.asarray(
-                        self.median.astype(np.uint8).astype(np.float32)
-                    )
-                )
-            )
-            self._median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(
-                np.uint8
-            )
-        else:
-            # Placeholder for the window-step signature; never consumed.
-            self._median_resized = np.zeros(
-                (self.HEIGHT, self.WIDTH, 3), np.uint8
-            )
+        # Median at model resolution (iterable.py:76-81 semantics) or a
+        # placeholder for the window-step signature; shared recipe with
+        # the fused pipeline (_ballwindow.median_model_resolution).
+        self._median_resized = median_model_resolution(
+            self.median, self.HEIGHT, self.WIDTH, self.bg_mode
+        )
         return resized
 
     # ------------------------------------------------------------------

@@ -45,7 +45,12 @@ from ..ops.heatmap import decode_heatmaps
 from ..ops.nms import batched_nms
 from ..ops.polygon import points_in_polygon
 from ..ops.resize import letterbox_plan, resize_plan
-from ._ballwindow import assemble_windows, frame_channels, make_frame_preprocess
+from ._ballwindow import (
+    assemble_windows,
+    frame_channels,
+    make_frame_preprocess,
+    median_model_resolution,
+)
 from .ball import BallTracker
 from .court_keypoints import KeypointsTracker
 from .objects import (
@@ -300,6 +305,7 @@ class FusedPipeline:
         # clock; the only output deviation vs 'rgb' is the chroma
         # subsampling round trip (PARITY.md).
         self.ingest = ingest
+        self._ingest_pref = ingest
         self._step_cache = {}
 
     def _ingest_decode(self, src_hw: tuple[int, int]):
@@ -312,6 +318,11 @@ class FusedPipeline:
         return lambda frames: frames.astype(jnp.float32)
 
     def _check_ingest(self, src_hw: tuple[int, int]) -> None:
+        """Pick the run's wire format from the configured preference:
+        I420 needs even dimensions. Recomputed per run (not a one-way
+        latch) so one odd-dimension clip doesn't downgrade every later
+        run of a cached pipeline to 2x the ingest bytes."""
+        self.ingest = self._ingest_pref
         if self.ingest == "i420" and (src_hw[0] % 2 or src_hw[1] % 2):
             print(
                 f"fused: {src_hw} has odd dimensions; falling back to rgb "
@@ -1184,20 +1195,9 @@ class FusedPipeline:
         quirk_flags = np.zeros(n, np.float32)
         quirk_flags[: min(quirk_upto, n)] = 1.0
 
-        if ball.bg_mode == "concat":
-            plan = resize_plan(
-                ball.median.shape[:2], (ball.HEIGHT, ball.WIDTH), "pil_bicubic"
-            )
-            med = np.asarray(
-                plan.apply(
-                    jnp.asarray(ball.median.astype(np.uint8).astype(np.float32))
-                )
-            )
-            median_resized = np.clip(np.floor(med + 0.5), 0, 255).astype(
-                np.uint8
-            )
-        else:
-            median_resized = np.zeros((ball.HEIGHT, ball.WIDTH, 3), np.uint8)
+        median_resized = median_model_resolution(
+            ball.median, ball.HEIGHT, ball.WIDTH, ball.bg_mode
+        )
         # Source-resolution float median for the subtract modes' on-device
         # difference images; tiny placeholder otherwise.
         median_src = (

@@ -131,19 +131,27 @@ class _StreamingDrawer:
                 fps=float(r.video_info.fps),
                 resolution_wh=r.video_info.resolution_wh,
             )
-            store = FrameStore(
-                r.video_path, r.start, r.stride, r.end, max_cached_frames=0
-            )
-            for frame_index, frame in enumerate(store):
-                if frame_index >= r.total_frames:
-                    break
-                with self._cond:
-                    while self._ready <= frame_index and not self._done:
-                        self._cond.wait()
-                    if self._ready <= frame_index:
-                        break  # done and no result for this frame
-                r._draw_one(writer, frame_index, frame)
-            r._finish_draw(writer, t0)
+            try:
+                store = FrameStore(
+                    r.video_path, r.start, r.stride, r.end, max_cached_frames=0
+                )
+                for frame_index, frame in enumerate(store):
+                    if frame_index >= r.total_frames:
+                        break
+                    with self._cond:
+                        while self._ready <= frame_index and not self._done:
+                            self._cond.wait()
+                        if self._ready <= frame_index:
+                            break  # done and no result for this frame
+                    r._draw_one(writer, frame_index, frame)
+                r._finish_draw(writer, t0)
+            except BaseException:
+                # _finish_draw releases on success; release here so a
+                # mid-draw failure still finalizes the container (and
+                # frees the encoder) before the error surfaces at
+                # finish().
+                writer.release()
+                raise
         except BaseException as e:  # surfaced by finish()
             self.exc = e
 

@@ -33,6 +33,29 @@ from .augmentation import frame_mixup
 from .tracknet import gaussian_heatmap_labels
 
 
+def load_image_bicubic01(
+    path, hw: tuple[int, int]
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode an image and apply the pipeline's PIL-parity preprocessing:
+    cv2 imread -> RGB -> bicubic squash to (h, w) -> Pillow uint8 rounding
+    -> [0, 1] float32. The ONE recipe shared by the YOLO/court training
+    CLIs and the evaluation harness — train and eval must preprocess
+    identically or reported metrics drift from deployed behavior.
+
+    Returns (image01, (src_w, src_h)).
+    """
+    import cv2
+
+    img = cv2.imread(str(path))
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    plan = resize_plan(img.shape[:2], hw, "pil_bicubic")
+    out = np.asarray(plan.apply(jnp.asarray(img, jnp.float32)))
+    img01 = np.clip(np.floor(out + 0.5), 0, 255).astype(np.float32) / 255.0
+    return img01, (img.shape[1], img.shape[0])
+
+
 @dataclass
 class RallyClip:
     frames: np.ndarray  # (N, H, W, 3) uint8 at model resolution

@@ -28,6 +28,37 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
 
 
+def greedy_match(
+    pred_boxes: np.ndarray,  # (N, 4) xyxy
+    pred_scores: np.ndarray,  # (N,)
+    gt_boxes: np.ndarray,  # (M, 4) xyxy
+    thr: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """COCO-style greedy matching: predictions in descending score order
+    each claim their highest-IoU unmatched ground truth when IoU >= thr.
+
+    Returns (order, gt_idx): `order` is prediction indices sorted by
+    descending score; `gt_idx[k]` is the gt matched to prediction
+    `order[k]` (-1 if unmatched). Shared by detection_map and the OKS
+    pairing in apps/evaluate.py so both use one matching rule.
+    """
+    pred_boxes = np.asarray(pred_boxes)
+    pred_scores = np.asarray(pred_scores)
+    gt_boxes = np.asarray(gt_boxes)
+    order = np.argsort(-pred_scores, kind="stable")
+    iou = _iou_matrix(pred_boxes[order], gt_boxes)
+    taken = np.zeros(len(gt_boxes), bool)
+    gt_idx = np.full(len(order), -1, int)
+    for k in range(len(order)):
+        if len(gt_boxes) == 0:
+            break
+        j = int(np.argmax(np.where(taken, -1.0, iou[k])))
+        if iou[k, j] >= thr and not taken[j]:
+            taken[j] = True
+            gt_idx[k] = j
+    return order, gt_idx
+
+
 def _average_precision(tp: np.ndarray, scores: np.ndarray, n_gt: int) -> float:
     """101-point interpolated AP from per-prediction TP flags."""
     if n_gt == 0:
@@ -61,19 +92,9 @@ def detection_map(
     for thr in iou_thresholds:
         flags, scores = [], []
         for pb, ps, gb in zip(pred_boxes, pred_scores, gt_boxes):
-            pb, ps, gb = np.asarray(pb), np.asarray(ps), np.asarray(gb)
-            order = np.argsort(-ps, kind="stable")
-            iou = _iou_matrix(pb[order], gb)
-            taken = np.zeros(len(gb), bool)
-            tp = np.zeros(len(pb), bool)
-            for i in range(len(pb)):
-                if len(gb) == 0:
-                    break
-                j = int(np.argmax(np.where(taken, -1.0, iou[i])))
-                if iou[i, j] >= thr and not taken[j]:
-                    taken[j] = True
-                    tp[i] = True
-            flags.append(tp)
+            ps = np.asarray(ps)
+            order, gt_idx = greedy_match(pb, ps, gb, thr)
+            flags.append(gt_idx >= 0)
             scores.append(ps[order])
         ap = _average_precision(
             np.concatenate(flags) if flags else np.zeros(0, bool),

@@ -270,8 +270,10 @@ def yolo_pose_loss(
     )  # (B, A)
     d2 = jnp.sum((kpts[..., :2] - tgt_kpts[..., :2]) ** 2, axis=-1)  # (B, A, K)
     nk = kpts.shape[2]
-    sigma2 = (1.0 / nk) ** 2
-    e = d2 / (2.0 * sigma2) / (area[..., None] + 1e-9) / 2.0
+    # ultralytics KeypointLoss / COCO OKS exponent: d^2 / (2*area*(2*sigma)^2)
+    # (matches training/evaluate.py oks(); uniform sigma = 1/K).
+    sigma = 1.0 / nk
+    e = d2 / ((2.0 * sigma) ** 2) / (area[..., None] + 1e-9) / 2.0
     kpt_mask = vis * fg[..., None]
     loc = (1.0 - jnp.exp(-e)) * kpt_mask
     denom = jnp.maximum(jnp.sum(kpt_mask), 1.0)

@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 cv2 = pytest.importorskip("cv2")
@@ -265,3 +266,58 @@ def test_short_clip_falls_back_to_sequential(tmp_path):
     balls = runner.trackers["ball_tracker"].results.predictions
     assert len(balls) == n
     assert all(b.visibility == 0 for b in balls)
+
+
+def test_fused_stream_draw_matches_batch_draw(
+    synthetic_video, court_keypoints, tmp_path
+):
+    """fused_stream_draw=True (render concurrent with inference) produces
+    the same analytics and a complete video as the default post-hoc draw
+    pass (runner.py _StreamingDrawer)."""
+    dfs, videos = [], []
+    for name, stream in (("batch", False), ("stream", True)):
+        sub = tmp_path / name
+        sub.mkdir()
+        out = sub / "results.mp4"
+        runner = TrackingRunner(
+            trackers=_build_trackers(court_keypoints, sub),
+            video_path=synthetic_video,
+            inference_path=str(out),
+            collect_data=True,
+            fused=True,
+            fused_chunk=6,
+            fused_stream_draw=stream,
+        )
+        runner.run()
+        dfs.append(runner.data_analytics.into_dataframe(FPS))
+        cap = cv2.VideoCapture(str(out))
+        videos.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+        cap.release()
+    assert videos[0] == videos[1] == N_FRAMES
+    pd.testing.assert_frame_equal(dfs[0], dfs[1])
+
+
+def test_fused_stream_draw_failure_finalizes_writer(
+    synthetic_video, court_keypoints, tmp_path
+):
+    """A draw failure mid-stream surfaces at finish() AND the writer is
+    released (finalized container), not leaked with the thread."""
+    out = tmp_path / "results.mp4"
+    runner = TrackingRunner(
+        trackers=_build_trackers(court_keypoints, tmp_path),
+        video_path=synthetic_video,
+        inference_path=str(out),
+        collect_data=False,
+        fused=True,
+        fused_chunk=6,
+        fused_stream_draw=True,
+    )
+
+    def boom(writer, frame_index, frame):
+        raise RuntimeError("draw failure injection")
+
+    runner._draw_one = boom
+    with pytest.raises(RuntimeError, match="draw failure injection"):
+        runner.run()
+    # release() ran on the error path: the container exists on disk.
+    assert out.exists()

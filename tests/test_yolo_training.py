@@ -138,8 +138,11 @@ def test_pose_training_step_runs(rng):
     losses = []
     # ~10 steps of adam warmup wobble before the drop (the assigner's
     # stop_gradient removed the old label-side shortcut that made the
-    # first steps fall artificially fast), then steady descent.
-    for _ in range(25):
+    # first steps fall artificially fast), then steady descent. 40 steps:
+    # the (2*sigma)^2 OKS exponent (ultralytics parity) makes the
+    # keypoint term gentler than the old 2*sigma^2 form, so the same
+    # 0.7x drop needs a few more steps.
+    for _ in range(40):
         state, loss = step(state, images, labels, boxes, jnp.asarray(kpts), mask)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
