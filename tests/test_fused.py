@@ -272,3 +272,17 @@ def test_fused_ball_matches_sequential_subtract_modes(rng, bg_mode, thr):
     assert len(seq) == len(fused) == N
     for a, b in zip(seq, fused):
         assert a.xy == b.xy and a.visibility == b.visibility, a.frame
+
+
+def test_ingest_fallback_is_per_run_not_a_latch():
+    """One odd-dimension clip must not downgrade later runs of a cached
+    pipeline to rgb ingest (2x the bytes over the bottleneck link)."""
+    from padel_analytics_tpu.trackers.fused import FusedPipeline
+
+    pipe = object.__new__(FusedPipeline)
+    pipe.ingest = "i420"
+    pipe._ingest_pref = "i420"
+    pipe._check_ingest((95, 128))
+    assert pipe.ingest == "rgb"
+    pipe._check_ingest((96, 128))
+    assert pipe.ingest == "i420"
