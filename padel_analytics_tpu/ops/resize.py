@@ -152,16 +152,24 @@ class ResizePlan:
         Horizontal pass then vertical pass (Pillow's order), optionally
         quantizing the intermediate to uint8 like Pillow's 8-bit path.
         """
+        import jax
+
         r_h = jnp.asarray(self.r_h, dtype=dtype)
         r_w = jnp.asarray(self.r_w, dtype=dtype)
         x = images.astype(dtype)
+        # Precision HIGH: the TPU's default f32 matmul is a single bf16
+        # pass (~8 mantissa bits -> up to 2 intensity steps off Pillow,
+        # measured on chip — tools/chip_check.py); HIGH (3-pass bf16)
+        # restores the CPU-f32 <=1-step parity at half the cost of
+        # HIGHEST. CPU/GPU backends ignore it.
+        prec = jax.lax.Precision.HIGH
         # Horizontal: contract W. (..., H, W, C) x (W', W) -> (..., H, W', C)
-        x = jnp.einsum("...hwc,pw->...hpc", x, r_w)
+        x = jnp.einsum("...hwc,pw->...hpc", x, r_w, precision=prec)
         if self.quantize_intermediate:
             # Pillow's clip8: round half UP, clamp to uint8.
             x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
         # Vertical: contract H. (..., H, W', C) x (H', H) -> (..., H', W', C)
-        x = jnp.einsum("...hwc,oh->...owc", x, r_h)
+        x = jnp.einsum("...hwc,oh->...owc", x, r_h, precision=prec)
         return x
 
 
