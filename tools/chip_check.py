@@ -80,6 +80,14 @@ def main() -> int:
     rdiff = int(np.abs(ours_u8.astype(int) - pil.astype(int)).max())
     check("pil_bicubic_resize", rdiff <= 1, f"maxdiff={rdiff}")
 
+    # ---- cv2-bilinear resize (the letterbox/det path's kernel) ----
+    plan_cv = resize_plan((108, 192), (64, 114), "cv2_linear")
+    out_cv = np.asarray(plan_cv.apply(jnp.asarray(img, jnp.float32)))
+    ours_cv = np.clip(np.round(out_cv), 0, 255).astype(np.uint8)
+    ref_cv = cv2.resize(img, (114, 64), interpolation=cv2.INTER_LINEAR)
+    cdiff = int(np.abs(ours_cv.astype(int) - ref_cv.astype(int)).max())
+    check("cv2_bilinear_resize", cdiff <= 1, f"maxdiff={cdiff}")
+
     # ---- heatmap decode vs cv2 contour reference ----
     from padel_analytics_tpu.ops.heatmap import decode_heatmaps
 
