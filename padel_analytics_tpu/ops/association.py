@@ -135,10 +135,17 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _linear_assignment(cost: np.ndarray, thresh: float):
-    """Hungarian assignment with a cost gate (lap.lapjv cost_limit
-    equivalent)."""
+    """Hungarian assignment with lap.lapjv cost_limit semantics.
+
+    Infeasible edges (cost > thresh) are clamped to one shared value
+    BEFORE the solve (supervision's scipy fallback does exactly this:
+    `cost[cost > thresh] = thresh + 1e-4`), so the optimizer never trades
+    a feasible pairing away to improve an infeasible one; forced clamped
+    matches are dropped by the post-gate. Gating only after a raw-cost
+    solve produces different match sets in crowded scenes."""
     if cost.size == 0:
         return [], list(range(cost.shape[0])), list(range(cost.shape[1]))
+    cost = np.where(cost > thresh, thresh + 1e-4, cost)
     rows, cols = scipy.optimize.linear_sum_assignment(cost)
     matches, un_a, un_b = [], [], []
     matched_a, matched_b = set(), set()
@@ -191,13 +198,21 @@ class ByteTrack:
         confidence = np.asarray(confidence, dtype=np.float64).reshape(-1)
         self.frame_id += 1
 
-        high = confidence >= self.track_thresh
-        low = (confidence > 0.1) & (~high)
+        # Strict > / < split (supervision: remain_inds = scores > thresh,
+        # inds_low = 0.1 < scores < thresh) — a score EXACTLY at the
+        # threshold falls in neither bucket and is dropped entirely.
+        high = confidence > self.track_thresh
+        low = (confidence > 0.1) & (confidence < self.track_thresh)
         det_high_idx = np.flatnonzero(high)
         det_low_idx = np.flatnonzero(low)
 
-        # Predict all active tracks forward.
+        # Predict all active tracks forward. ByteTrack's multi_predict
+        # zeroes the HEIGHT-velocity state of non-tracked (lost) tracks
+        # before predicting, so an occluded box's size freezes instead of
+        # integrating stale velocity (STrack.multi_predict).
         for t in self.tracks:
+            if t.state != "tracked":
+                t.mean[7] = 0.0
             t.mean, t.covariance = self.kf.predict(t.mean, t.covariance)
             t.frames_since_update += 1
 

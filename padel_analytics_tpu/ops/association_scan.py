@@ -13,7 +13,13 @@ Differences vs host ByteTrack (documented, not hidden):
   instead of Hungarian — identical except on exact-cost ties;
 - constant-velocity box prediction without the Kalman covariance
   machinery (predict = x + v, update = observation + velocity EMA);
-- fixed MAX_TRACKS slots; IDs still allocated in first-seen order.
+- fixed MAX_TRACKS slots; IDs still allocated in first-seen order;
+- unconfirmed (spawned, not yet re-matched) tracks compete in stage 1
+  at the same 0.2 IoU gate as confirmed ones and age out through
+  max_lost rather than being deleted on their first unmatched frame —
+  host ByteTrack runs a separate 0.3-gated unconfirmed pass with
+  immediate removal, so a one-frame false positive can briefly hold a
+  slot (and an ID) here that the host path would discard.
 
 Same two-stage thresholds: high dets (>= track_thresh) match first,
 low dets (> 0.1) keep lost-ish tracks alive, new tracks require

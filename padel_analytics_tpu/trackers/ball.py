@@ -130,6 +130,14 @@ class BallTracker(Tracker):
         self.batch_size = batch_size
         self.median_max_sample_num = median_max_sample_num
         self.median = median
+        # User-supplied medians are never recomputed (and never get the
+        # reference's median-buffer quirk — the reference has no such
+        # input); medians WE compute are keyed to the clip via a
+        # first-frame fingerprint so reusing the tracker on a different
+        # clip rebuilds them instead of silently subtracting clip A's
+        # background from clip B (see ensure_median_for_clip).
+        self._median_user = median is not None
+        self._median_fp: Optional[str] = None
         self.channel_quirk = channel_quirk
         # Optional jax.sharding.Mesh with a 'data' axis: the TrackNet
         # window/ensemble/decode pipeline then runs SPMD with the clip's
@@ -357,20 +365,22 @@ class BallTracker(Tracker):
             jnp.float32,
         )
         median_dev = jnp.asarray(median_resized)
-        from ..io.native import pack_frames
 
         xs: list[int] = []
         ys: list[int] = []
         vs: list[int] = []
-        frames_np = pack_frames(resized)  # (video_len, H, W, 3) uint8
-        zero_frame = np.zeros_like(frames_np[0])
+        # Stack per chunk straight from the resized list — a whole-clip
+        # contiguous pack here would hold a SECOND full copy of the clip
+        # in RAM next to `resized` (~8.5 GB each for a 20k-frame clip at
+        # model resolution) for no benefit.
+        zero_frame = np.zeros_like(resized[0])
 
         n_ext = video_len + seq_len - 1
         for lo in range(0, n_ext, chunk):
             hi = min(lo + chunk, n_ext)
             arr = np.stack(
                 [
-                    frames_np[i] if i < video_len else zero_frame
+                    resized[i] if i < video_len else zero_frame
                     for i in range(lo, hi)
                 ]
             )
@@ -421,6 +431,37 @@ class BallTracker(Tracker):
 
     # ------------------------------------------------------------------
 
+    def owns_median(self) -> bool:
+        """True when this tracker computes (and may recompute) the median
+        itself — i.e. a background mode is active and the user didn't
+        supply a median at construction."""
+        return bool(self.bg_mode) and not self._median_user
+
+    def ensure_median_for_clip(self, head_frames: list[np.ndarray]) -> bool:
+        """(Re)compute the median from the clip's buffered head unless a
+        cached one already belongs to THIS clip (first-frame fingerprint).
+        The reference rebuilds its median every run (iterable.py:59-83);
+        caching it across runs of the SAME clip is a pure optimization,
+        but reuse on a different clip must rebuild or the first clip's
+        background silently contaminates the second.
+
+        Returns True iff the reference's median-buffer channel quirk
+        applies to the head frames this run (channel_quirk on): in the
+        reference those frames always pass through the double conversion,
+        whether or not we reused a cached median.
+        """
+        assert self.owns_median()
+        import hashlib
+
+        subtract_mode = self.bg_mode in ("subtract", "subtract_concat")
+        fp = hashlib.sha1(head_frames[0].tobytes()).hexdigest()
+        if self.median is None or fp != self._median_fp:
+            self.median = median_background(
+                np.stack(head_frames), exact=subtract_mode
+            )
+            self._median_fp = fp
+        return self.channel_quirk
+
     def _gather_resized_frames(self, frame_generator) -> list[np.ndarray]:
         """Decode -> (median estimation over the head of the clip) ->
         device resize to (HEIGHT, WIDTH) uint8."""
@@ -460,8 +501,7 @@ class BallTracker(Tracker):
                     out = resize_step(jnp.asarray(padded))
                 resized.extend(np.asarray(out)[:n_real])
 
-        need_median = self.median is None and self.bg_mode
-        if need_median:
+        if self.owns_median():
             gen = iter(frame_generator)
             for frame in gen:
                 buffered.append(frame)
@@ -469,13 +509,13 @@ class BallTracker(Tracker):
                     break
             # Exact float median for the subtract modes (the reference
             # keeps np.median's float output, iterable.py:83); truncated
-            # uint8 for 'concat' (iterable.py:77-79).
-            self.median = median_background(
-                np.stack(buffered), exact=subtract_mode
-            )
+            # uint8 for 'concat' (iterable.py:77-79). Recomputed when the
+            # clip changed; the quirk swap applies to the head frames
+            # either way (the reference re-buffers them every run).
+            quirk = self.ensure_median_for_clip(buffered)
             if subtract_mode:
                 median_src_dev = jnp.asarray(self.median.astype(np.float32))
-            flush(buffered, swapped=True)
+            flush(buffered, swapped=quirk)
             buffered = []
             for frame in gen:
                 buffered.append(frame)

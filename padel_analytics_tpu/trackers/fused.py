@@ -687,27 +687,41 @@ class FusedPipeline:
 
         return builder.finish()
 
+    def _unpack_frames(
+        self, builder: "_ResultBuilder", det_packed, pose_packed,
+        court_packed, n_real: int,
+    ) -> None:
+        """Decode the packed per-frame output buffers into the builder —
+        the ONE place that knows the packed layouts (det rows: 4 box +
+        score + 0.5-cut validity; pose rows: 3K keypoint floats +
+        validity; court rows: 2K coords + flag). Shared by the chunked,
+        staged-scan, and mesh drain paths."""
+        if not n_real:
+            return
+        dp = np.asarray(det_packed)[:n_real]
+        builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
+        pp = np.asarray(pose_packed)[:n_real]
+        nk = (pp.shape[-1] - 1) // 3
+        builder.add_pose(
+            pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
+            pp[..., 3 * nk] > 0.5,
+        )
+        if court_packed is not None:
+            builder.add_court(np.asarray(court_packed)[:n_real])
+
     def _drain_round(self, item, builder: _ResultBuilder, n, b, seq_len):
         lo, det_packed, pose_packed, ball_packed, court_packed = item
         s = det_packed.shape[0]
         dp = np.asarray(det_packed).reshape(s * b, *det_packed.shape[2:])
         pp = np.asarray(pose_packed).reshape(s * b, *pose_packed.shape[2:])
         bp = np.asarray(ball_packed).reshape(s * b, 3)
+        cp = (
+            np.asarray(court_packed).reshape(s * b, court_packed.shape[-1])
+            if court_packed is not None
+            else None
+        )
         n_real = max(0, min(lo + s * b, n) - lo)
-        if n_real:
-            d = dp[:n_real]
-            builder.add_det(d[..., :4], d[..., 4], d[..., 5] > 0.5)
-            p = pp[:n_real]
-            nk = (p.shape[-1] - 1) // 3
-            builder.add_pose(
-                p[..., : 3 * nk].reshape(p.shape[0], p.shape[1], nk, 3),
-                p[..., 3 * nk] > 0.5,
-            )
-            if court_packed is not None:
-                cp = np.asarray(court_packed).reshape(
-                    s * b, court_packed.shape[-1]
-                )
-                builder.add_court(cp[:n_real])
+        self._unpack_frames(builder, dp, pp, cp, n_real)
         emit_lo = lo - (seq_len - 1)
         for j in range(s * b):
             f = emit_lo + j
@@ -803,17 +817,9 @@ class FusedPipeline:
         def drain(item):
             (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed,
              court_packed) = item
-            if n_real_frames:
-                dp = np.asarray(det_packed)[:n_real_frames]
-                builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
-                pp = np.asarray(pose_packed)[:n_real_frames]
-                nk = (pp.shape[-1] - 1) // 3
-                builder.add_pose(
-                    pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
-                    pp[..., 3 * nk] > 0.5,
-                )
-                if court_packed is not None:
-                    builder.add_court(np.asarray(court_packed)[:n_real_frames])
+            self._unpack_frames(
+                builder, det_packed, pose_packed, court_packed, n_real_frames
+            )
             bp = np.asarray(ball_packed)
             for j in range(b):
                 f = emit_lo + j
@@ -1143,16 +1149,7 @@ class FusedPipeline:
         n_real = max(0, min(lo + det_packed.shape[0], n) - lo)
         if not n_real:
             return
-        dp = np.asarray(det_packed)[:n_real]
-        builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
-        pp = np.asarray(pose_packed)[:n_real]
-        nk = (pp.shape[-1] - 1) // 3
-        builder.add_pose(
-            pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
-            pp[..., 3 * nk] > 0.5,
-        )
-        if court_packed is not None:
-            builder.add_court(np.asarray(court_packed)[:n_real])
+        self._unpack_frames(builder, det_packed, pose_packed, court_packed, n_real)
         pre_frames.extend(np.asarray(pre_packed)[:n_real])
 
     # ------------------------------------------------------------------
@@ -1166,22 +1163,17 @@ class FusedPipeline:
         ball = self.ball
         subtract_mode = ball.bg_mode in ("subtract", "subtract_concat")
         buffered: list[np.ndarray] = []
-        need_median = ball.median is None and ball.bg_mode
         it = iter(frame_iter)
         quirk_upto = 0
-        if need_median:
+        if ball.owns_median():
             for frame in it:
                 buffered.append(frame)
                 if len(buffered) == ball.median_max_sample_num:
                     break
-            from ..ops.median import median_background
-
-            # Exact float median for subtract modes, truncated uint8 for
-            # 'concat' (reference iterable.py:77-83).
-            ball.median = median_background(
-                np.stack(buffered), exact=subtract_mode
-            )
-            if ball.channel_quirk:
+            # Recomputes when the clip changed (first-frame fingerprint);
+            # reference iterable.py:59-83 semantics, incl. the quirk swap
+            # of the head frames on every run.
+            if ball.ensure_median_for_clip(buffered):
                 quirk_upto = len(buffered)
         elif subtract_mode and ball.median is None:
             raise ValueError(f"bg_mode={ball.bg_mode!r} needs a median")

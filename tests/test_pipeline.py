@@ -321,3 +321,46 @@ def test_fused_stream_draw_failure_finalizes_writer(
         runner.run()
     # release() ran on the error path: the container exists on disk.
     assert out.exists()
+
+
+def test_ball_tracker_reuse_on_new_clip_matches_fresh_tracker(tmp_path):
+    """Reusing a BallTracker on a DIFFERENT clip must rebuild the median
+    (first-frame fingerprint) and apply the head-frame quirk exactly like
+    a fresh tracker — previously clip A's cached background silently
+    contaminated clip B."""
+    rng = np.random.default_rng(11)
+    cfg = BallTrackerConfig(height=32, width=48, batch_size=4,
+                            median_max_sample_num=6)
+
+    def clip(seed, n=14):
+        r = np.random.default_rng(seed)
+        return [r.integers(0, 256, (48, 64, 3), np.uint8) for _ in range(n)]
+
+    from padel_analytics_tpu.utils.video import VideoInfo
+
+    def preds(tracker, frames):
+        tracker.video_info_post_init(
+            VideoInfo(width=64, height=48, fps=30.0, total_frames=len(frames))
+        )
+        return [
+            b.serialize()
+            for b in tracker.predict_frames(iter(frames), total_frames=len(frames))
+        ]
+
+    reused = BallTracker(None, None, config=cfg, compute_dtype=jnp.float32)
+    preds(reused, clip(1))
+    median_a = np.array(reused.median, copy=True)
+    reused.restart()
+    got_b = preds(reused, clip(2))
+    assert not np.array_equal(median_a, reused.median)
+
+    fresh = BallTracker(None, None, config=cfg, compute_dtype=jnp.float32)
+    # Same (random-init) weights so outputs are comparable.
+    fresh.tracknet = reused.tracknet
+    want_b = preds(fresh, clip(2))
+    assert got_b == want_b
+
+    # Same clip again: the cached median is reused (fingerprint match)
+    # and results are unchanged.
+    reused.restart()
+    assert preds(reused, clip(2)) == want_b
