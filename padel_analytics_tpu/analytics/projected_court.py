@@ -370,7 +370,10 @@ class ProjectedCourt:
                     )
                 output = projected.draw_projection(output)
 
-        if self.H is not None and ball_detection and ball_detection.visibility:
+        # Reference parity: the gate is Ball TRUTHINESS only
+        # (projected_court.py:659) — an invisible ball (xy=(0, 0)) still
+        # projects through H and draws, exactly like the reference.
+        if self.H is not None and ball_detection:
             output = self.project_ball(ball_detection, self.H).draw_projection(
                 output
             )

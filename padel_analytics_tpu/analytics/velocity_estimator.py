@@ -34,7 +34,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..constants import AVERAGE_PRO_PLAYER_HEIGHT, BASE_LINE, SIDE_LINE
+from ..constants import (
+    AVERAGE_PRO_PLAYER_HEIGHT,
+    BASE_LINE,
+    SERVICE_SIDE_LINE,
+    SIDE_LINE,
+)
 from ..ops.homography import find_homography, project_points
 from ..trackers.objects import Ball, Keypoints, Players
 
@@ -49,7 +54,9 @@ class ImpactType(enum.Enum):
 def _court_template_meters() -> np.ndarray:
     half_w = BASE_LINE / 2
     half_l = SIDE_LINE / 2
-    service = SIDE_LINE / 2 - 3.0  # service line 3 m from each baseline
+    # Service line SERVICE_SIDE_LINE meters from each baseline (the same
+    # constant that drives the minimap geometry in projected_court.py).
+    service = SIDE_LINE / 2 - SERVICE_SIDE_LINE
     return np.array(
         [
             (-half_w, half_l),  # k1
@@ -108,7 +115,11 @@ class BallVelocityData:
         """Arrowed velocity vector on the t1 frame (cv2, host-side)."""
         import cv2
 
-        frame = np.ascontiguousarray(np.asarray(frames[self.frame_t1]))
+        # Always copy: ascontiguousarray returns the SAME buffer for an
+        # already-contiguous array, and cv2.arrowedLine draws in place —
+        # without the copy each estimate would permanently stamp an arrow
+        # onto the caller's stored frame.
+        frame = np.array(frames[self.frame_t1], dtype=np.uint8, copy=True)
         return cv2.arrowedLine(
             frame,
             tuple(int(v) for v in self.position_t0),

@@ -31,8 +31,26 @@ def log(msg: str, level: int = 1) -> None:
         print(msg)
 
 
+class StageHandle:
+    """Set `.value` to the stage's device output inside the body; the
+    timer blocks on it at exit so async dispatch can't fake the number."""
+
+    value: Optional[object] = None
+
+
 class StageTimer:
-    """Accumulating named-stage wall-clock timer."""
+    """Accumulating named-stage wall-clock timer.
+
+    Synchronizing on values produced INSIDE the stage body:
+
+        with timer.stage("fwd") as s:
+            s.value = model.apply(variables, x)
+
+    `sync` may also be a value that already exists at entry, or a
+    zero-arg callable evaluated at exit (for state the body mutates).
+    On the tunneled dev TPU block_until_ready is a no-op (BENCH.md) —
+    there, force completion by downloading from `s.value` instead.
+    """
 
     def __init__(self):
         self.totals: dict[str, float] = defaultdict(float)
@@ -40,12 +58,16 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, sync: Optional[object] = None):
+        handle = StageHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
+            target = handle.value
+            if target is None:
+                target = sync() if callable(sync) else sync
+            if target is not None:
+                jax.block_until_ready(target)
             dt = time.perf_counter() - t0
             self.totals[name] += dt
             self.counts[name] += 1

@@ -1,4 +1,5 @@
-from .evaluate import detection_map, oks
+from .evaluate import detection_map, greedy_match, oks
+from .inpaintnet import make_inpaintnet_train_step, masked_coordinate_loss
 from .resnet_court import (
     CourtTrainState,
     court_regression_loss,
@@ -9,6 +10,7 @@ from .resnet_court import (
 from .tracknet import (
     TrackNetTrainState,
     gaussian_heatmap_labels,
+    init_train_state,
     make_tracknet_train_step,
     weighted_bce_loss,
 )
@@ -31,9 +33,13 @@ __all__ = [
     "normalize_court_targets",
     "detection_map",
     "gaussian_heatmap_labels",
+    "greedy_match",
+    "init_train_state",
     "init_yolo_train_state",
+    "make_inpaintnet_train_step",
     "make_tracknet_train_step",
     "make_yolo_train_step",
+    "masked_coordinate_loss",
     "oks",
     "task_aligned_assign",
     "weighted_bce_loss",

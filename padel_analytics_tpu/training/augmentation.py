@@ -37,40 +37,63 @@ def frame_mixup(
     width: int,
     sigma: float = 2.5,
     alpha: float = 0.5,
+    coords_src: jnp.ndarray | None = None,  # (L, 2) SOURCE-resolution coords
 ):
     """Returns (frames (L, H, W, C), heatmaps (L, H, W), coords, vis)
-    after mixup + resampling."""
+    after mixup + resampling.
+
+    `coords_src`: the reference evaluates its <10px snap threshold on
+    SOURCE-resolution coordinates (dataset.py:585) — pass them when the
+    window was resized or the snap radius silently grows by the resize
+    factor. Defaults to `coords` (no resize).
+    """
     l = frames.shape[0]
     rng_lamb, rng_pick = jax.random.split(rng)
     lamb = jax.random.beta(rng_lamb, alpha, alpha)
+    if coords_src is None:
+        coords_src = coords
 
     heat = gaussian_heatmap_labels(coords, height, width, sigma)  # (L, H, W)
 
+    # Chained per-frame labels (dataset.py:580-601): an invisible frame
+    # inherits the PREVIOUS label (prev_heatmap carries through runs of
+    # invisible frames), so original-slot labels are the chain, not the
+    # raw per-frame labels (which are zero when invisible).
+    def _chain(carry, inp):
+        h_i, v_i = inp
+        out = jnp.where(v_i > 0, h_i, carry)
+        return out, out
+
+    _, chain_tail = jax.lax.scan(_chain, heat[0], (heat[1:], vis[1:]))
+    heat_chain = jnp.concatenate([heat[:1], chain_tail], axis=0)  # (L, H, W)
+
     prev_f, cur_f = frames[:-1], frames[1:]
-    prev_h, cur_h = heat[:-1], heat[1:]
+    prev_hc, cur_h = heat_chain[:-1], heat[1:]
     prev_c, cur_c = coords[:-1], coords[1:]
     prev_v, cur_v = vis[:-1], vis[1:]
 
     inter_f = prev_f * lamb + cur_f * (1.0 - lamb)
 
-    dist = jnp.sqrt(jnp.sum((prev_c - cur_c) ** 2, axis=-1))
-    # casework from dataset.py:580-597
+    dist = jnp.sqrt(
+        jnp.sum((coords_src[:-1] - coords_src[1:]) ** 2, axis=-1)
+    )
+    # casework from dataset.py:580-597; the keep-prev branch uses the
+    # CHAINED previous label, the blend branch's prev is also the chain
+    # (equal to the raw label there since prev_v == 1 in that branch).
     keep_prev = cur_v == 0
     snap_cur = (~keep_prev) & ((prev_v == 0) | (dist < 10))
-    blend = ~(keep_prev | snap_cur)
 
     inter_h = jnp.where(
         keep_prev[:, None, None],
-        prev_h,
+        prev_hc,
         jnp.where(
             snap_cur[:, None, None],
             cur_h,
-            prev_h * lamb + cur_h * (1.0 - lamb),
+            prev_hc * lamb + cur_h * (1.0 - lamb),
         ),
     )
     inter_c = jnp.where(keep_prev[:, None], prev_c, cur_c)
     inter_v = jnp.where(keep_prev, prev_v, cur_v)
-    del blend
 
     # Interleave: f0, i01, f1, i12, f2, ... -> (2L-1, ...)
     def interleave(orig, inter):
@@ -81,7 +104,7 @@ def frame_mixup(
         return out
 
     all_f = interleave(frames, inter_f)
-    all_h = interleave(heat, inter_h)
+    all_h = interleave(heat_chain, inter_h)
     all_c = interleave(coords, inter_c)
     all_v = interleave(vis, inter_v)
 

@@ -59,9 +59,10 @@ def load_image_bicubic01(
 @dataclass
 class RallyClip:
     frames: np.ndarray  # (N, H, W, 3) uint8 at model resolution
-    coords: np.ndarray  # (N, 2) float32 ball coords in MODEL pixels
+    coords: np.ndarray  # (N, 2) float32 TRUNCATED ball coords, MODEL px
     visibility: np.ndarray  # (N,) float32
     median: np.ndarray  # (H, W, 3) uint8 at model resolution
+    coords_src: np.ndarray = None  # (N, 2) float32 SOURCE-res coords
 
 
 def load_rally(
@@ -118,11 +119,17 @@ def load_rally(
     ).astype(np.uint8)
 
     scale = np.array([width / src_hw[1], height / src_hw[0]], np.float32)
-    coords = np.asarray(coords, np.float32) * scale
+    coords_src = np.asarray(coords, np.float32)
+    # Reference label centers are int-TRUNCATED model coords
+    # (dataset.py:547,587: int(coor / scaler)); float centers shift the
+    # disc boundary by up to a pixel.
+    coords = np.trunc(coords_src * scale).astype(np.float32)
     vis_arr = np.asarray(vis, np.float32)
     coords[vis_arr == 0] = 0.0  # absent balls are (0, 0) like the reference
+    coords_src[vis_arr == 0] = 0.0
     return RallyClip(
-        frames=resized, coords=coords, visibility=vis_arr, median=med
+        frames=resized, coords=coords, visibility=vis_arr, median=med,
+        coords_src=coords_src,
     )
 
 
@@ -155,11 +162,14 @@ def window_batches(
         vis = jnp.asarray(clip.visibility[idx])
 
         if mixup_alpha > 0:
+            src = clip.coords_src if clip.coords_src is not None else clip.coords
+            coords_src = jnp.asarray(src[idx])
             key, *subkeys = jax.random.split(key, batch_size + 1)
             outs = [
                 frame_mixup(
                     subkeys[i], frames[i], coords[i], vis[i], h, w,
                     sigma=sigma, alpha=mixup_alpha,
+                    coords_src=coords_src[i],
                 )
                 for i in range(batch_size)
             ]

@@ -19,8 +19,7 @@ trainable TPU-first:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -55,31 +54,16 @@ def court_regression_loss(
     return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-@dataclass
-class CourtTrainState:
-    params: Any
-    batch_stats: Any
-    opt_state: Any
-    step: Any = 0
-
-
-jax.tree_util.register_pytree_node(
-    CourtTrainState,
-    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
-    lambda _, children: CourtTrainState(*children),
-)
+# One shared train-state pytree serves every model family (inpaintnet
+# already reuses it); the alias keeps the public name.
+from .tracknet import TrackNetTrainState as CourtTrainState  # noqa: E402
+from .tracknet import init_train_state as _init_train_state  # noqa: E402
 
 
 def init_court_train_state(
     model, example_input: jnp.ndarray, optimizer: optax.GradientTransformation
 ) -> CourtTrainState:
-    variables = model.init(jax.random.PRNGKey(0), example_input)
-    return CourtTrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(variables["params"]),
-        step=0,
-    )
+    return _init_train_state(model, example_input, optimizer)
 
 
 def make_court_train_step(

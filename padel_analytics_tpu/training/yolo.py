@@ -14,8 +14,7 @@ image batch over the mesh 'data' axis exactly like training/tracknet.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -276,11 +275,14 @@ def yolo_pose_loss(
     e = d2 / ((2.0 * sigma) ** 2) / (area[..., None] + 1e-9) / 2.0
     kpt_mask = vis * fg[..., None]
     loc = (1.0 - jnp.exp(-e)) * kpt_mask
-    denom = jnp.maximum(jnp.sum(kpt_mask), 1.0)
     pose_loss = jnp.sum(loc * weight[..., None]) / tss
 
+    # ultralytics kobj is BCEWithLogits(pred_vis, kpt_mask).mean() over
+    # ALL fg keypoint entries (visible or not) — normalizing by visible
+    # count alone inflates the term ~K-fold under heavy occlusion.
     kobj = optax.sigmoid_binary_cross_entropy(kpt_raw[..., 2], vis)
-    kobj_loss = jnp.sum(kobj * fg[..., None]) / denom
+    denom_kobj = jnp.maximum(jnp.sum(fg) * nk, 1.0)
+    kobj_loss = jnp.sum(kobj * fg[..., None]) / denom_kobj
 
     total = det_total + GAIN_POSE * pose_loss + GAIN_KOBJ * kobj_loss
     parts.update({"pose": pose_loss, "kobj": kobj_loss})
@@ -290,31 +292,16 @@ def yolo_pose_loss(
 # -------------------------------------------------------------- train step
 
 
-@dataclass
-class YoloTrainState:
-    params: Any
-    batch_stats: Any
-    opt_state: Any
-    step: Any = 0
-
-
-jax.tree_util.register_pytree_node(
-    YoloTrainState,
-    lambda s: ((s.params, s.batch_stats, s.opt_state, s.step), None),
-    lambda _, children: YoloTrainState(*children),
-)
+# One shared train-state pytree serves every model family (inpaintnet
+# already reuses it); the alias keeps the public name.
+from .tracknet import TrackNetTrainState as YoloTrainState  # noqa: E402
+from .tracknet import init_train_state as _init_train_state  # noqa: E402
 
 
 def init_yolo_train_state(
     model, example_input: jnp.ndarray, optimizer: optax.GradientTransformation
 ) -> YoloTrainState:
-    variables = model.init(jax.random.PRNGKey(0), example_input)
-    return YoloTrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(variables["params"]),
-        step=0,
-    )
+    return _init_train_state(model, example_input, optimizer)
 
 
 def make_yolo_train_step(

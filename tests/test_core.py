@@ -50,9 +50,18 @@ def test_stage_timer():
         pass
     with timer.stage("b", sync=jnp.ones(3) * 2):
         pass
+    # Sync on a value produced INSIDE the body (the real use case: the
+    # stage must block on its own device output, not a pre-existing one).
+    with timer.stage("c") as st:
+        st.value = jnp.ones(4) + 1
+    # Callable sync, evaluated at exit.
+    box = {}
+    with timer.stage("d", sync=lambda: box["y"]):
+        box["y"] = jnp.ones(2) * 3
     s = timer.summary()
     assert s["a"]["count"] == 2
     assert s["b"]["count"] == 1
+    assert s["c"]["count"] == 1 and s["d"]["count"] == 1
     assert s["a"]["total_s"] >= 0
 
 

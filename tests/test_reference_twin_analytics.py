@@ -162,3 +162,33 @@ def test_velocity_vectors_match_reference(rng):
     ref_angles = ref_mod.get_velocity_vectors_angle_per_frame_interval(ref_vecs)
     our_angles = get_velocity_vectors_angle_per_frame_interval(our_vecs)
     np.testing.assert_allclose(our_angles, ref_angles, rtol=1e-9, atol=1e-12)
+
+
+def test_invisible_ball_draw_matches_reference(rng):
+    """Reference gate is Ball TRUTHINESS only (projected_court.py:659):
+    an invisible ball (xy=(0,0)) still projects through H and draws.
+    Byte-compare the full projection pass with a shared H."""
+    ref_mod = reference_projected_court_module()
+    w, h = 640, 360
+    vi = VideoInfo(width=w, height=h, fps=30.0, total_frames=4)
+    ref = ref_mod.ProjectedCourt(SimpleNamespace(width=w, height=h))
+    ours = ProjectedCourt(vi)
+
+    kp = _court_keypoints_12(w, h)
+    shared_h = ours.homography_matrix(kp)
+    ref.H = shared_h
+    ours.H = shared_h
+
+    frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    for visibility in (0, 1):
+        ball = Ball(frame=0, xy=(0.0, 0.0) if visibility == 0 else (320.0, 180.0),
+                    visibility=visibility)
+        out_ref, _ = ref.draw_projections_and_collect_data(
+            frame.copy(), keypoints_detection=kp, players_detection=None,
+            ball_detection=ball, data_analytics=None, is_fixed_keypoints=True,
+        )
+        out_ours, _ = ours.draw_projections_and_collect_data(
+            frame.copy(), keypoints_detection=kp, players_detection=None,
+            ball_detection=ball, data_analytics=None, is_fixed_keypoints=True,
+        )
+        np.testing.assert_array_equal(out_ours, out_ref)
