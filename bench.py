@@ -91,7 +91,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=
     )
 
     variant = "n" if smoke else "m"
-    pose_size = 640 if smoke else 1280
+    pose_size = 64 if smoke else 1280
     ball_cfg = (
         BallTrackerConfig(height=72, width=128, batch_size=8, median_max_sample_num=16)
         if smoke
@@ -108,7 +108,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=
         players.IMGSZ = 64
     pose = PlayerKeypointsTracker(
         None,
-        train_image_size=pose_size if not smoke else 64,
+        train_image_size=pose_size,
         batch_size=8,
         model_variant=variant,
         compute_dtype=jnp.bfloat16,

@@ -63,53 +63,45 @@ def _load_config(args) -> PipelineConfig:
     return cfg
 
 
-def _acquire_keypoints(cfg: PipelineConfig, video_path: str) -> list:
+def _acquire_keypoints(
+    cfg: PipelineConfig, video_path: str, interactive: bool = True
+) -> list:
     """Load fixed court keypoints from JSON, or fall back to the
-    interactive cv2 click UI (main.py:81-94)."""
+    interactive cv2 click UI (main.py:81-94). `interactive=False` (e.g.
+    the streamlit server, where a cv2 window would hang headless or open
+    on the wrong display) raises instead of falling back."""
     if cfg.fixed_court_keypoints_load_path:
         with open(cfg.fixed_court_keypoints_load_path) as f:
             selected = json.load(f)
+    elif not interactive:
+        raise RuntimeError(
+            "no fixed court keypoints JSON configured "
+            "(FIXED_COURT_KEYPOINTS_LOAD_PATH) and the interactive click "
+            "UI is unavailable in this environment"
+        )
     else:
-        import cv2
+        from .keypoint_picker import pick_keypoints
 
-        selected = []
         img = next(frame_generator(video_path, end=1))
-        img_bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        selected = pick_keypoints(img, window="frame")
 
-        def click_event(event, x, y, flags, params):
-            if event == cv2.EVENT_LBUTTONDOWN:
-                selected.append((x, y))
-                cv2.putText(
-                    img_bgr,
-                    f"{x},{y}",
-                    (x, y),
-                    cv2.FONT_HERSHEY_SIMPLEX,
-                    1,
-                    (255, 0, 0),
-                    2,
-                )
-                cv2.imshow("frame", img_bgr)
-
-        cv2.imshow("frame", img_bgr)
-        cv2.setMouseCallback("frame", click_event)
-        cv2.waitKey(0)
-        cv2.destroyAllWindows()
-
-    if cfg.fixed_court_keypoints_save_path:
-        with open(cfg.fixed_court_keypoints_save_path, "w") as f:
-            json.dump(selected, f)
+    # Validate BEFORE persisting: saving an invalid selection would
+    # poison later runs that load the same cache file.
     if len(selected) != 12:
         raise SystemExit(
             f"expected 12 court keypoints, got {len(selected)} "
             "(provide --keypoints JSON in headless environments)"
         )
+    if cfg.fixed_court_keypoints_save_path:
+        with open(cfg.fixed_court_keypoints_save_path, "w") as f:
+            json.dump(selected, f)
     return selected
 
 
-def build_pipeline(cfg: PipelineConfig):
+def build_pipeline(cfg: PipelineConfig, interactive: bool = True):
     """Construct (trackers, runner) from a PipelineConfig."""
     video_info = VideoInfo.from_video_path(cfg.input_video_path)
-    selected = _acquire_keypoints(cfg, cfg.input_video_path)
+    selected = _acquire_keypoints(cfg, cfg.input_video_path, interactive)
 
     fixed_keypoints_detection = Keypoints(
         [Keypoint(id=i, xy=tuple(float(x) for x in v)) for i, v in enumerate(selected)]

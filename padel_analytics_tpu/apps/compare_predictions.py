@@ -20,10 +20,6 @@ import sys
 import numpy as np
 
 
-def _ball_points(entries):
-    return {e["frame"] if "frame" in e else i: e["xy"] for i, e in enumerate(entries)}
-
-
 def compare_ball(a, b):
     dists = []
     vis_match = 0
@@ -33,12 +29,15 @@ def compare_ball(a, b):
         xb, yb = b[i]["xy"]
         dists.append(float(np.hypot(xa - xb, ya - yb)))
         vis_match += a[i]["visibility"] == b[i]["visibility"]
+    # inf sentinel like the keypoints comparators: an empty cache yields
+    # a well-formed report, not a numpy reduction crash.
+    arr = np.array(dists) if dists else np.array([np.inf])
     return {
         "frames": n,
-        "mean_px": float(np.mean(dists)),
-        "p95_px": float(np.percentile(dists, 95)),
-        "max_px": float(np.max(dists)),
-        "within_1px": float(np.mean(np.array(dists) <= 1.0)),
+        "mean_px": float(arr.mean()),
+        "p95_px": float(np.percentile(arr, 95)),
+        "max_px": float(arr.max()),
+        "within_1px": float((arr <= 1.0).mean()),
         "visibility_agreement": vis_match / max(n, 1),
     }
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -27,6 +29,10 @@ def main(argv=None) -> int:
     parser.add_argument("--variant", default="m")
     parser.add_argument("--keypoints", type=int, default=0)
     parser.add_argument("--imgsz", type=int, default=640)
+    parser.add_argument(
+        "--classes", type=int, default=0,
+        help="yolo: assert this class count (0 = infer from checkpoint)",
+    )
     args = parser.parse_args(argv)
 
     from ..models.convert import (
@@ -74,8 +80,19 @@ def main(argv=None) -> int:
             k: v.float() if hasattr(v, "float") else v for k, v in state_dict.items()
         }
         converted = convert_yolov8_state_dict(state_dict)
+        # Infer num_classes from the checkpoint's cls head (like
+        # PlayerTracker does) — the stock COCO players checkpoint is
+        # 80-class; hard-coding 1 would fail its shape merge.
+        ckpt_nc = int(
+            np.asarray(converted["params"]["cls_0"]["proj"]["kernel"]).shape[-1]
+        )
+        if args.classes and args.classes != ckpt_nc:
+            raise SystemExit(
+                f"--classes {args.classes} but checkpoint has {ckpt_nc}"
+            )
         model = YOLOv8(
-            variant=args.variant, num_classes=1, num_keypoints=args.keypoints
+            variant=args.variant, num_classes=ckpt_nc,
+            num_keypoints=args.keypoints,
         )
         example = jnp.zeros((1, args.imgsz, args.imgsz, 3), jnp.float32)
 

@@ -43,15 +43,19 @@ COLLECT_DATA = True
 
 @st.fragment
 def velocity_estimator_view(video_info: VideoInfo):
-    frame_index = st.slider("Frames", 0, video_info.total_frames, 1)
+    # Bound by the frames actually decoded (CAP_PROP_FRAME_COUNT can
+    # overestimate, and the reference's inclusive bound indexed one past
+    # the end of the list).
+    last = len(st.session_state["video"]) - 1
+    frame_index = st.slider("Frames", 0, last, min(1, last))
     st.image(np.array(st.session_state["video"][frame_index]))
 
     with st.form("choose-frames"):
         frame_index_t0 = st.number_input(
-            "First frame: ", min_value=0, max_value=video_info.total_frames
+            "First frame: ", min_value=0, max_value=last
         )
         frame_index_t1 = st.number_input(
-            "Second frame: ", min_value=1, max_value=video_info.total_frames
+            "Second frame: ", min_value=min(1, last), max_value=last
         )
         impact_type_ch = st.radio("Impact type: ", options=["Floor", "Player"])
         get_vz = st.radio(
@@ -120,6 +124,11 @@ def main():
 
     with st.form("run-video"):
         upload_video_path = st.text_input("Upload video: ", "")
+        config_path = st.text_input(
+            "Config module (reference-style config.py with model weight "
+            "paths + FIXED_COURT_KEYPOINTS_LOAD_PATH): ",
+            "",
+        )
         upload_video = st.form_submit_button("Upload")
 
     if not (upload_video or st.session_state["video"] is not None):
@@ -127,6 +136,12 @@ def main():
 
     if upload_video:
         st.session_state["df"] = None
+        st.session_state["video"] = None
+        # Drop any previous tmp.mp4 (file OR symlink) first: the ffmpeg-
+        # missing fallback would otherwise silently keep analyzing the
+        # PREVIOUS upload, and a dangling symlink makes os.symlink raise.
+        if os.path.lexists("tmp.mp4"):
+            os.remove("tmp.mp4")
         os.system(f"ffmpeg -y -i {upload_video_path} -vcodec libx264 tmp.mp4")
         if not os.path.exists("tmp.mp4"):
             # no ffmpeg binary — use the original path directly
@@ -134,9 +149,21 @@ def main():
 
     if st.session_state["df"] is None:
         with st.spinner("Analysing video ..."):
-            cfg = PipelineConfig()
+            cfg = (
+                PipelineConfig.from_module(config_path)
+                if config_path
+                else PipelineConfig()
+            )
             cfg.input_video_path = "tmp.mp4"
-            runner = build_pipeline(cfg)
+            try:
+                runner = build_pipeline(cfg, interactive=False)
+            except RuntimeError as e:
+                st.error(
+                    f"{e}. Point the config field at a reference-style "
+                    "config.py, or create the keypoints JSON with "
+                    "`python -m padel_analytics_tpu.apps.keypoint_picker`."
+                )
+                return
             runner.run()
             st.session_state["runner"] = runner
             st.session_state["df"] = runner.data_analytics.into_dataframe(
@@ -144,8 +171,12 @@ def main():
             )
             st.success("Done.")
 
-    frames, _, _, _ = read_video("tmp.mp4")
-    st.session_state["video"] = frames
+    if st.session_state["video"] is None:
+        # Decode ONCE per upload: every widget interaction reruns main(),
+        # and re-decoding a full clip per click is seconds of work and
+        # gigabytes of churn.
+        frames, _, _, _ = read_video("tmp.mp4")
+        st.session_state["video"] = frames
     st.subheader("Uploaded Video")
     st.video("tmp.mp4")
 

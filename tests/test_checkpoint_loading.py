@@ -80,3 +80,31 @@ def test_merge_variables_raises_on_missing_keys():
         _engine._merge_variables(variables, loaded)
     merged = _engine._merge_variables(variables, loaded, allow_partial=True)
     assert merged is not None
+
+
+def test_convert_weights_cli_infers_coco80(tmp_path, monkeypatch):
+    """The convert CLI must handle the documented primary case — the
+    stock 80-class COCO players checkpoint — by inferring num_classes
+    from the cls head instead of hard-coding 1."""
+    from padel_analytics_tpu.apps import convert_weights
+    from padel_analytics_tpu.models import convert as convert_mod
+
+    fake = _fake_converted_variables(80)
+    monkeypatch.setattr(
+        convert_mod, "load_torch_checkpoint", lambda p: {"model": {}}
+    )
+    monkeypatch.setattr(
+        convert_mod, "convert_yolov8_state_dict", lambda sd: fake
+    )
+    out = tmp_path / "det80.msgpack"
+    rc = convert_weights.main(
+        ["yolo", "in.pt", str(out), "--variant", "n", "--imgsz", "64"]
+    )
+    assert rc == 0 and out.exists()
+
+    # --classes asserting the wrong count fails loudly.
+    with pytest.raises(SystemExit):
+        convert_weights.main(
+            ["yolo", "in.pt", str(tmp_path / "x.msgpack"),
+             "--variant", "n", "--imgsz", "64", "--classes", "1"]
+        )

@@ -162,7 +162,9 @@ def test_dashboard_full_flow(tmp_path, monkeypatch):
     import padel_analytics_tpu.visualizations.padel_court as pc
 
     runner = _stub_runner()
-    monkeypatch.setattr(cli_mod, "build_pipeline", lambda cfg: runner)
+    monkeypatch.setattr(
+        cli_mod, "build_pipeline", lambda cfg, interactive=True: runner
+    )
 
     # padel_court may have been imported earlier in the session without
     # plotly (frozen _HAS_PLOTLY=False); rebind it under the fake, and
