@@ -86,6 +86,51 @@ def _nms_single(
     )
 
 
+def candidate_count(scores: jnp.ndarray, conf_thres: float) -> jnp.ndarray:
+    """Per-frame count of pre-NMS candidates above `conf_thres` for a
+    (B, A) score tensor -> (B,) int32. Compared against the `top_k`
+    pre-filter cap this detects silent candidate truncation (PARITY.md §6:
+    ultralytics keeps max_nms=30000, we keep top_k): when
+    count > top_k the NMS input was clipped and detections may differ."""
+    return jnp.sum(scores > conf_thres, axis=-1).astype(jnp.int32)
+
+
+class SaturationCounter:
+    """Host-side tally of NMS pre-filter saturation with a one-shot
+    warning. Feed the per-frame `candidate_count` output each step."""
+
+    def __init__(self, name: str, top_k: int):
+        self.name = name
+        self.top_k = top_k
+        self.saturated_frames = 0
+        self.total_frames = 0
+        self._warned = False
+
+    def update(self, n_candidates) -> None:
+        import numpy as np
+
+        n = np.asarray(n_candidates)
+        self.total_frames += int(n.size)
+        sat = int((n > self.top_k).sum())
+        if sat:
+            self.saturated_frames += sat
+            if not self._warned:
+                self._warned = True
+                print(
+                    f"{self.name}: WARNING pre-NMS candidates exceed "
+                    f"top_k={self.top_k} on {sat} frame(s) (max "
+                    f"{int(n.max())}); detections may be truncated — "
+                    "raise nms_top_k for dense scenes"
+                )
+
+    def summary(self) -> dict:
+        return {
+            "top_k": self.top_k,
+            "saturated_frames": self.saturated_frames,
+            "total_frames": self.total_frames,
+        }
+
+
 @functools.partial(
     jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "top_k")
 )

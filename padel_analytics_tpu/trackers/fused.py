@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..ops.ensemble import overlap_ensemble_coefficients
 from ..ops.heatmap import decode_heatmaps
-from ..ops.nms import batched_nms
+from ..ops.nms import batched_nms, candidate_count
 from ..ops.polygon import points_in_polygon
 from ..ops.resize import letterbox_plan, resize_plan
 from ._ballwindow import (
@@ -373,9 +373,11 @@ class FusedPipeline:
         def det_step(det_vars, frames_raw):
             x_det = lb.apply(decode(frames_raw)) / 255.0
             det_out = det_model.apply(det_vars, x_det)
+            person = _person_scores(det_out["scores"])
+            n_cand = candidate_count(person, conf_d)
             boxes, det_scores, _, _, det_valid = batched_nms(
                 det_out["boxes"],
-                _person_scores(det_out["scores"]),
+                person,
                 conf_thres=conf_d,
                 iou_thres=iou_d,
                 max_det=max_d,
@@ -399,14 +401,19 @@ class FusedPipeline:
                 det_valid = det_valid & points_in_polygon(anchors, polygon)
             # Pack into ONE output buffer: each drained array is a device
             # round-trip on tunneled links.
+            b_, d_ = det_valid.shape
+            cand_col = jnp.broadcast_to(
+                n_cand[:, None, None].astype(jnp.float32), (b_, d_, 1)
+            )
             return jnp.concatenate(
                 [
                     boxes,
                     det_scores[..., None],
                     det_valid[..., None].astype(jnp.float32),
+                    cand_col,
                 ],
                 axis=-1,
-            )  # (B, max_det, 6)
+            )  # (B, max_det, 7)
 
         return det_step
 
@@ -427,6 +434,7 @@ class FusedPipeline:
         def pose_step(pose_vars, frames_raw):
             x_pose = pose_plan.apply(decode(frames_raw)) / 255.0
             pose_out = pose_model.apply(pose_vars, x_pose)
+            n_cand = candidate_count(pose_out["scores"][..., 0], conf_p)
             _, pose_scores, _, p_idx, pose_valid = batched_nms(
                 pose_out["boxes"],
                 pose_out["scores"][..., 0],
@@ -442,13 +450,17 @@ class FusedPipeline:
             kpts = kpts.at[..., 1].mul(pose_ry)
             b_, d_, k_, _ = kpts.shape
             # Pack into ONE output buffer (see det_step).
+            cand_col = jnp.broadcast_to(
+                n_cand[:, None, None].astype(jnp.float32), (b_, d_, 1)
+            )
             return jnp.concatenate(
                 [
                     kpts.reshape(b_, d_, k_ * 3),
                     pose_valid[..., None].astype(jnp.float32),
+                    cand_col,
                 ],
                 axis=-1,
-            )  # (B, max_det, 3K + 1)
+            )  # (B, max_det, 3K + 2)
 
         return pose_step
 
@@ -555,7 +567,7 @@ class FusedPipeline:
             _, outs = jax.lax.scan(
                 lambda _, fr: (None, det_core(det_vars, fr)), None, frames_c
             )
-            return outs  # (num_chunks, B, max_det, 6)
+            return outs  # (num_chunks, B, max_det, 7)
 
         def pose_scan(pose_vars, frames_all):
             frames_c = frames_all.reshape((num_chunks, b) + frames_all.shape[1:])
@@ -693,19 +705,22 @@ class FusedPipeline:
     ) -> None:
         """Decode the packed per-frame output buffers into the builder —
         the ONE place that knows the packed layouts (det rows: 4 box +
-        score + 0.5-cut validity; pose rows: 3K keypoint floats +
-        validity; court rows: 2K coords + flag). Shared by the chunked,
-        staged-scan, and mesh drain paths."""
+        score + 0.5-cut validity + pre-NMS candidate count; pose rows: 3K
+        keypoint floats + validity + candidate count; court rows: 2K
+        coords + flag). Shared by the chunked, staged-scan, and mesh
+        drain paths."""
         if not n_real:
             return
         dp = np.asarray(det_packed)[:n_real]
         builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
+        self.players.nms_saturation.update(dp[:, 0, 6])
         pp = np.asarray(pose_packed)[:n_real]
-        nk = (pp.shape[-1] - 1) // 3
+        nk = (pp.shape[-1] - 2) // 3
         builder.add_pose(
             pp[..., : 3 * nk].reshape(pp.shape[0], pp.shape[1], nk, 3),
             pp[..., 3 * nk] > 0.5,
         )
+        self.pose.nms_saturation.update(pp[:, 0, 3 * nk + 1])
         if court_packed is not None:
             builder.add_court(np.asarray(court_packed)[:n_real])
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import PlayerKeypointsTrackerConfig
 from ..models.yolov8 import YOLOv8
-from ..ops.nms import batched_nms
+from ..ops.nms import SaturationCounter, batched_nms, candidate_count
 from ..ops.resize import resize_plan
 from . import _engine
 from .base import NoPredictFrames, Tracker
@@ -82,6 +82,7 @@ class PlayerKeypointsTracker(Tracker):
             model, example, model_path, convert_fn=_load_yolo_pt
         )
         self.engine = _engine.Engine(model, variables)
+        self.nms_saturation = SaturationCounter(str(self), self.nms_top_k)
 
     def video_info_post_init(self, video_info) -> "PlayerKeypointsTracker":
         self.video_info = video_info
@@ -112,6 +113,7 @@ class PlayerKeypointsTracker(Tracker):
         def step(variables, frames_u8):
             x = plan.apply(frames_u8) / 255.0
             out = model.apply(variables, x)
+            n_cand = candidate_count(out["scores"][..., 0], conf)
             _, scores, _, index, valid = batched_nms(
                 out["boxes"],
                 out["scores"][..., 0],
@@ -128,7 +130,7 @@ class PlayerKeypointsTracker(Tracker):
             # (players_keypoints_tracker.py:276-278,309-312).
             kpts = kpts.at[..., 0].mul(ratio_x)
             kpts = kpts.at[..., 1].mul(ratio_y)
-            return kpts, scores, valid
+            return kpts, scores, valid, n_cand
 
         return step
 
@@ -139,7 +141,10 @@ class PlayerKeypointsTracker(Tracker):
             ("pose", src_hw, padded.shape[0]),
             lambda: self._build_step(src_hw, padded.shape[0]),
         )
-        kpts, scores, valid = step(self.engine.variables, jnp.asarray(padded))
+        kpts, scores, valid, n_cand = step(
+            self.engine.variables, jnp.asarray(padded)
+        )
+        self.nms_saturation.update(np.asarray(n_cand)[:n_real])
         return (
             np.asarray(kpts)[:n_real],
             np.asarray(scores)[:n_real],

@@ -25,7 +25,7 @@ from ..config import PlayersTrackerConfig
 from ..models.convert import convert_yolov8_state_dict, load_torch_checkpoint
 from ..models.yolov8 import YOLOv8
 from ..ops.association import ByteTrack
-from ..ops.nms import batched_nms
+from ..ops.nms import SaturationCounter, batched_nms, candidate_count
 from ..ops.polygon import PolygonZone
 from ..ops.resize import letterbox_plan
 from . import _engine
@@ -117,6 +117,7 @@ class PlayerTracker(Tracker):
         if converted is not None:
             variables = _engine._merge_variables(variables, converted)
         self.engine = _engine.Engine(model, variables)
+        self.nms_saturation = SaturationCounter(str(self), self.nms_top_k)
         self.byte_track: Optional[ByteTrack] = None
         self.video_info = None
 
@@ -155,9 +156,11 @@ class PlayerTracker(Tracker):
         def step(variables, frames_u8):
             x = lb.apply(frames_u8) / 255.0
             out = model.apply(variables, x)
+            person = _person_scores(out["scores"])
+            n_cand = candidate_count(person, conf)
             boxes, scores, _, _, valid = batched_nms(
                 out["boxes"],
-                _person_scores(out["scores"]),
+                person,
                 conf_thres=conf,
                 iou_thres=iou,
                 max_det=max_det,
@@ -181,7 +184,7 @@ class PlayerTracker(Tracker):
                     [(boxes[..., 0] + boxes[..., 2]) / 2.0, boxes[..., 3]], axis=-1
                 )
                 valid = valid & points_in_polygon(anchors, polygon)
-            return boxes, scores, valid
+            return boxes, scores, valid, n_cand
 
         return step
 
@@ -194,7 +197,10 @@ class PlayerTracker(Tracker):
             ("det", src_hw, padded.shape[0]),
             lambda: self._build_step(src_hw, padded.shape[0]),
         )
-        boxes, scores, valid = step(self.engine.variables, jnp.asarray(padded))
+        boxes, scores, valid, n_cand = step(
+            self.engine.variables, jnp.asarray(padded)
+        )
+        self.nms_saturation.update(np.asarray(n_cand)[:n_real])
         return (
             np.asarray(boxes)[:n_real],
             np.asarray(scores)[:n_real],

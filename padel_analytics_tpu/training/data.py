@@ -133,6 +133,153 @@ def load_rally(
     )
 
 
+@dataclass
+class InpaintRally:
+    """One rally's coordinate-trajectory training data (the reference's
+    'coordinate' data mode, dataset.py:304-358 + 387-429): TrackNet
+    predictions with ground truth and an inpaint mask, in SOURCE pixels."""
+
+    coords_pred: np.ndarray  # (N, 2) float32, source px
+    coords_gt: np.ndarray  # (N, 2) float32, source px
+    vis_pred: np.ndarray  # (N,) float32
+    vis_gt: np.ndarray  # (N,) float32
+    inpaint_mask: np.ndarray  # (N,) float32, 1 = region to inpaint
+    img_wh: tuple[int, int]  # (w, h) source resolution
+
+
+def load_inpaint_rally(
+    match_dir: str | Path,
+    rally_id: str,
+    img_wh: Optional[tuple[int, int]] = None,
+    img_format: str = "png",
+) -> InpaintRally:
+    """Load one rally's predicted-trajectory CSV
+    (<match_dir>/predicted_csv/<rally_id>_ball.csv with columns
+    Frame,X,Y,Visibility,X_GT,Y_GT,Visibility_GT,Inpaint_Mask — the layout
+    the reference's coordinate mode reads at dataset.py:306-312).
+
+    `img_wh` defaults to the first frame image's size when frames exist.
+    """
+    import cv2
+
+    match_dir = Path(match_dir)
+    csv_path = match_dir / "predicted_csv" / f"{rally_id}_ball.csv"
+    rows = []
+    with open(csv_path) as f:
+        for row in csv.DictReader(f):
+            rows.append(row)
+    rows.sort(key=lambda r: int(r["Frame"]))
+
+    def col(name, default=None):
+        out = []
+        for r in rows:
+            v = r.get(name, "")
+            out.append(float(v) if v not in ("", None) else default)
+        return np.asarray(out, np.float32)
+
+    coords_pred = np.stack([col("X"), col("Y")], axis=-1)
+    coords_gt = np.stack(
+        [col("X_GT", 0.0), col("Y_GT", 0.0)], axis=-1
+    )
+    vis_pred = col("Visibility", 0.0)
+    vis_gt = col("Visibility_GT", 0.0)
+    mask = col("Inpaint_Mask", 0.0)
+
+    if img_wh is None:
+        frame_dir = match_dir / "frame" / rally_id
+        probe = frame_dir / f"{rows[0]['Frame']}.{img_format}"
+        img = cv2.imread(str(probe))
+        if img is None:
+            raise ValueError(
+                f"pass img_wh: no frame image at {probe} to infer it from"
+            )
+        img_wh = (img.shape[1], img.shape[0])
+    return InpaintRally(
+        coords_pred=coords_pred,
+        coords_gt=coords_gt,
+        vis_pred=vis_pred,
+        vis_gt=vis_gt,
+        inpaint_mask=mask,
+        img_wh=img_wh,
+    )
+
+
+def synthesize_inpaint_rally(
+    coords_gt: np.ndarray,  # (N, 2) source px
+    vis_gt: np.ndarray,  # (N,)
+    img_wh: tuple[int, int],
+    rng: np.random.Generator,
+    gap_rate: float = 0.08,
+    max_gap: int = 12,
+    jitter_px: float = 1.5,
+) -> InpaintRally:
+    """Build InpaintNet training data from ground truth alone by
+    synthesizing drop-out gaps: random spans are zeroed (as a failed
+    TrackNet detection would be) and flagged in the inpaint mask; kept
+    detections get sub-pixel jitter to mimic TrackNet noise. Lets the
+    InpaintNet CLI train without a predicted_csv (which needs a full
+    TrackNet inference sweep the reference performs offline)."""
+    n = len(vis_gt)
+    coords_pred = coords_gt.astype(np.float32).copy()
+    coords_pred += rng.normal(0.0, jitter_px, coords_pred.shape).astype(np.float32)
+    vis_pred = vis_gt.astype(np.float32).copy()
+    mask = np.zeros(n, np.float32)
+    i = 0
+    while i < n:
+        if vis_gt[i] > 0 and rng.random() < gap_rate:
+            gap = int(rng.integers(1, max_gap + 1))
+            j = min(n, i + gap)
+            mask[i:j] = 1.0
+            coords_pred[i:j] = 0.0
+            vis_pred[i:j] = 0.0
+            i = j
+        else:
+            i += 1
+    coords_pred[vis_gt == 0] = 0.0
+    return InpaintRally(
+        coords_pred=coords_pred,
+        coords_gt=coords_gt.astype(np.float32),
+        vis_pred=vis_pred,
+        vis_gt=vis_gt.astype(np.float32),
+        inpaint_mask=mask,
+        img_wh=img_wh,
+    )
+
+
+def coordinate_window_batches(
+    rally: InpaintRally,
+    seq_len: int = 16,
+    batch_size: int = 8,
+    rng: Optional[np.random.Generator] = None,
+    sliding_step: int = 1,
+) -> Iterator[tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Yield (coords (B, L, 2), mask (B, L, 1), target (B, L, 2)) batches
+    of stride-`sliding_step` coordinate windows normalized by the SOURCE
+    dims (dataset.py:497-501), shuffled. Windows with nothing to inpaint
+    still appear (they supervise the identity path)."""
+    n = rally.coords_pred.shape[0]
+    num_windows = (n - seq_len) // sliding_step + 1
+    if num_windows <= 0:
+        return
+    rng = rng or np.random.default_rng(0)
+    w, h = rally.img_wh
+    scale = np.asarray([w, h], np.float32)
+    starts = np.arange(num_windows) * sliding_step
+    order = rng.permutation(num_windows)
+
+    for lo in range(0, num_windows - batch_size + 1, batch_size):
+        sel = starts[order[lo : lo + batch_size]]
+        idx = sel[:, None] + np.arange(seq_len)[None, :]
+        coords = rally.coords_pred[idx] / scale
+        target = rally.coords_gt[idx] / scale
+        mask = rally.inpaint_mask[idx][..., None]
+        yield (
+            jnp.asarray(coords),
+            jnp.asarray(mask.astype(np.float32)),
+            jnp.asarray(target),
+        )
+
+
 def window_batches(
     clip: RallyClip,
     seq_len: int = 8,

@@ -124,3 +124,40 @@ def test_inpaint_pass_matches_reference_replication(rng):
     check(out["x"], rx, fx)
     check(out["y"], ry, fy)
     assert out["visibility"] == rv
+
+
+def test_inpaint_pass_one_compile_across_clip_lengths(rng):
+    """Round-2 verdict item 8: clips of different lengths must share ONE
+    compiled inpaint program (the old whole-clip pass re-jitted per
+    (num_windows, video_len))."""
+    w, h = 1279, 719
+    tracker = BallTracker(
+        None,
+        "random_init_inpaint",
+        compute_dtype=jnp.float32,
+        config=BallTrackerConfig(batch_size=4, median_max_sample_num=4),
+    )
+    assert tracker.inpaintnet is not None
+
+    def run(n):
+        tracker.video_info_post_init(
+            VideoInfo(width=w, height=h, fps=30, total_frames=n)
+        )
+        xs = np.linspace(100, 1100, n).astype(int)
+        ys = np.linspace(200, 600, n).astype(int)
+        pred = {
+            "frame": list(range(n)),
+            "x": xs.tolist(),
+            "y": ys.tolist(),
+            "visibility": [1] * n,
+        }
+        out = tracker._inpaint_pass(pred, n)
+        assert len(out["x"]) == n
+
+    run(40)
+    keys_after_first = set(tracker.inpaintnet._cache)
+    run(97)   # different length: crosses a chunk boundary differently
+    run(200)  # > 2 chunks
+    assert set(tracker.inpaintnet._cache) == keys_after_first
+    inpaint_keys = [k for k in keys_after_first if k[0] == "inpaint"]
+    assert len(inpaint_keys) == 1
