@@ -130,6 +130,56 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=
     )
 
 
+def bench_court_modes(runner, video: str, n: int) -> dict:
+    """Fused court sub-step timing + e2e fps for the model-based court
+    modes (yolo@640 12-kpt pose head, resnet50@224 regressor — reference
+    keypoints_tracker.py:199-312). Random weights: the timing is
+    architecture-bound, not weight-bound."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from padel_analytics_tpu.trackers import KeypointsTracker
+    from padel_analytics_tpu.trackers.fused import FusedPipeline
+    from padel_analytics_tpu.utils.video import frame_generator
+
+    by_name = runner.trackers
+    players = by_name["players_tracker"]
+    pose = by_name["players_keypoints_tracker"]
+    ball = by_name["ball_tracker"]
+    frames_used = min(n, 64)
+    out: dict = {}
+    for mode in ("yolo", "resnet"):
+        court = KeypointsTracker(
+            model_type=mode, model_variant="m", compute_dtype=jnp.bfloat16
+        )
+        court.video_info_post_init(runner.video_info)
+        pipe = FusedPipeline(
+            players, pose, ball, court, chunk=runner.fused_chunk,
+            ingest=runner.fused_ingest,
+        )
+        import itertools
+
+        gen = lambda: itertools.islice(frame_generator(video), frames_used)
+        pipe.run(gen(), frames_used)  # warmup (compiles)
+        players.restart(); pose.restart(); ball.restart(); court.restart()
+        t0 = _time.perf_counter()
+        pipe.run(gen(), frames_used)
+        e2e = frames_used / (_time.perf_counter() - t0)
+        players.restart(); pose.restart(); ball.restart(); court.restart()
+        split = pipe.measure_device_split(gen(), frames_used, n_chunks=2)
+        out[mode] = {
+            "e2e_fps": round(e2e, 2),
+            "court_s": split.get("court_s") if split else None,
+            "court_ms_per_frame": (
+                round(split["court_s"] / split["frames"] * 1e3, 2)
+                if split and "court_s" in split
+                else None
+            ),
+        }
+    return out
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -138,6 +188,12 @@ def main() -> int:
     parser.add_argument("--no-device-metrics", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--staged", type=int, default=0)
+    parser.add_argument("--no-court-modes", action="store_true")
+    parser.add_argument(
+        "--mesh", action="store_true",
+        help="also measure run_mesh throughput on the virtual 8-device "
+        "CPU mesh (subprocess; see tools/mesh_bench.py)",
+    )
     args = parser.parse_args()
 
     if args.smoke:
@@ -238,6 +294,35 @@ def main() -> int:
                 )
             print(f"bench: device-resident split {device_split}", file=sys.stderr)
 
+    # Model-based court modes (round-2 verdict item 5): the reference
+    # also ships yolo/resnet court keypoints (keypoints_tracker.py:199-312);
+    # time their fused court sub-step and a fused e2e pass with the court
+    # model in the schedule.
+    court_modes = None
+    if not args.no_court_modes and not args.smoke:
+        with contextlib.redirect_stdout(sys.stderr):
+            court_modes = bench_court_modes(runner, video, n)
+        print(f"bench: court modes {court_modes}", file=sys.stderr)
+
+    mesh_scaling = None
+    if args.mesh:
+        import subprocess
+
+        print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).parent / "tools" / "mesh_bench.py"),
+             "--frames", "96"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                mesh_scaling = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if mesh_scaling is None:
+            print(f"bench: mesh bench failed: {proc.stderr[-500:]}", file=sys.stderr)
+
     record = {
         "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
         "value": round(fps, 2),
@@ -254,6 +339,34 @@ def main() -> int:
             k: v for k, v in device_split.items()
             if k.endswith("_s")
         }
+        # Multi-host ingest model (round-2 verdict item 3): project the
+        # 8-chip v5e-8 rate from MEASURED single-chip numbers. Frames
+        # enter as I420 (1.5 B/px); each feeding host sustains the
+        # measured upload bandwidth, chips sustain device_resident_fps.
+        upload_s = device_split.get("upload_s")
+        frames_meas = device_split.get("frames")
+        if upload_s and frames_meas:
+            bytes_per_frame = w * h * 1.5  # I420 wire format
+            host_bw = frames_meas * bytes_per_frame / upload_s  # B/s
+            host_fps = host_bw / bytes_per_frame
+            chip_fps = device_split["device_fps"]
+            record["multihost_model"] = {
+                "measured_host_upload_MBps": round(host_bw / 1e6, 1),
+                "measured_host_ingest_fps": round(host_fps, 1),
+                "measured_chip_fps": chip_fps,
+                # per host h and 8 chips: min(h * ingest, 8 * chip rate)
+                "projected_8chip_fps_by_hosts": {
+                    str(hn): round(min(hn * host_fps, 8 * chip_fps), 1)
+                    for hn in (1, 2, 4, 8)
+                },
+                "hosts_to_saturate_8_chips": max(
+                    1, int(np.ceil(8 * chip_fps / host_fps))
+                ),
+            }
+    if court_modes is not None:
+        record["court_modes"] = court_modes
+    if mesh_scaling is not None:
+        record["mesh_scaling_cpu_virtual"] = mesh_scaling
     print(json.dumps(record))
     return 0
 

@@ -79,30 +79,16 @@ def _greedy_match(iou: jnp.ndarray, row_ok, col_ok, min_iou: float, n_iter: int)
     return assign
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "track_thresh", "match_thresh", "max_lost", "max_tracks",
-    ),
-)
-def associate_clip(
-    boxes: jnp.ndarray,  # (F, D, 4) per-frame padded detections
-    scores: jnp.ndarray,  # (F, D)
-    valid: jnp.ndarray,  # (F, D) bool
-    track_thresh: float = 0.25,
-    match_thresh: float = 0.8,
-    max_lost: int = 30,
-    max_tracks: int = 16,
+def _make_step(
+    track_thresh: float, match_thresh: float, max_lost: int, max_tracks: int
 ):
-    """Assign track IDs to every detection of a clip in one device scan.
-
-    Returns (ids (F, D) int32 with 0 = unassigned/dropped, final state).
-    """
-    f, d, _ = boxes.shape
+    """Per-frame association step closure shared by the whole-clip scan
+    and the chunk-carried variant (fused pipeline's association='device')."""
     det_thresh = track_thresh + 0.1
 
     def step(state: TrackState, frame):
         fboxes, fscores, fvalid = frame
+        d = fboxes.shape[0]
         high = fvalid & (fscores >= track_thresh)
         low = fvalid & (fscores > 0.1) & ~high
 
@@ -188,16 +174,70 @@ def associate_clip(
         )
         return new_state, det_ids
 
-    state = init_state(max_tracks)
-    # Frame 1 special case (instant activation): run one step with
-    # confirmed semantics by pre-confirming spawned tracks of frame 0.
-    state, first_ids = _first_frame(state, boxes[0], scores[0], valid[0],
-                                    det_thresh, max_tracks)
-    rest_state, rest_ids = jax.lax.scan(
-        step, state, (boxes[1:], scores[1:], valid[1:])
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "first", "track_thresh", "match_thresh", "max_lost", "max_tracks",
+    ),
+)
+def associate_chunk(
+    state: TrackState,
+    boxes: jnp.ndarray,  # (B, D, 4) consecutive frames' padded detections
+    scores: jnp.ndarray,  # (B, D)
+    valid: jnp.ndarray,  # (B, D) bool
+    first: bool = False,
+    track_thresh: float = 0.25,
+    match_thresh: float = 0.8,
+    max_lost: int = 30,
+    max_tracks: int = 16,
+):
+    """Chunk-carried association: scan a chunk of consecutive frames
+    through a carried TrackState (the fused pipeline calls this once per
+    chunk with the previous chunk's state). `first=True` applies the
+    frame-0 instant-activation special case to the chunk's first frame
+    (ByteTrack activates frame-1 tracks immediately).
+
+    Returns (new_state, ids (B, D) int32 with 0 = unassigned/dropped).
+    """
+    det_thresh = track_thresh + 0.1
+    boxes = boxes.astype(jnp.float32)
+    scores = scores.astype(jnp.float32)
+    step = _make_step(track_thresh, match_thresh, max_lost, max_tracks)
+    if first:
+        state, first_ids = _first_frame(
+            state, boxes[0], scores[0], valid[0], det_thresh, max_tracks
+        )
+        state, rest_ids = jax.lax.scan(
+            step, state, (boxes[1:], scores[1:], valid[1:])
+        )
+        ids = jnp.concatenate([first_ids[None], rest_ids], axis=0)
+    else:
+        state, ids = jax.lax.scan(step, state, (boxes, scores, valid))
+    return state, ids
+
+
+def associate_clip(
+    boxes: jnp.ndarray,  # (F, D, 4) per-frame padded detections
+    scores: jnp.ndarray,  # (F, D)
+    valid: jnp.ndarray,  # (F, D) bool
+    track_thresh: float = 0.25,
+    match_thresh: float = 0.8,
+    max_lost: int = 30,
+    max_tracks: int = 16,
+):
+    """Assign track IDs to every detection of a clip in one device scan.
+
+    Returns (ids (F, D) int32 with 0 = unassigned/dropped, final state).
+    """
+    state, ids = associate_chunk(
+        init_state(max_tracks), boxes, scores, valid, first=True,
+        track_thresh=track_thresh, match_thresh=match_thresh,
+        max_lost=max_lost, max_tracks=max_tracks,
     )
-    ids = jnp.concatenate([first_ids[None], rest_ids], axis=0)
-    return ids, rest_state
+    return ids, state
 
 
 def _first_frame(state, fboxes, fscores, fvalid, det_thresh, max_tracks):

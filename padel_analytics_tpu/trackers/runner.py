@@ -172,6 +172,7 @@ class TrackingRunner:
         fused_chunk: int = 16,
         fused_staged: int = 0,  # >0: scan this many chunks per dispatch
         fused_ingest: str = "i420",  # wire format; 'rgb' for exact cv2 parity
+        fused_association: str = "host",  # 'device': on-device ID scan
         # Draw concurrently with inference. A win when host cores are
         # plentiful; on single-core hosts the drawer contends with the
         # upload path's own CPU cost (serialization/compression) and SLOWS
@@ -186,6 +187,7 @@ class TrackingRunner:
         self.fused_chunk = fused_chunk
         self.fused_staged = fused_staged
         self.fused_ingest = fused_ingest
+        self.fused_association = fused_association
         self.fused_stream_draw = fused_stream_draw
         self.mesh = mesh
         self.video_path = video_path
@@ -283,6 +285,7 @@ class TrackingRunner:
                 court,
                 chunk=self.fused_chunk,
                 ingest=self.fused_ingest,
+                association=self.fused_association,
             )
 
         # Streaming draw: render/collect concurrently with inference (host

@@ -1,0 +1,90 @@
+"""Whole-model A/B on the real chip: Flax/XLA forward vs the Pallas-kernel
+fast forward, at production shapes.
+
+  python tools/fast_probe.py --model tracknet [--batch 8] [--reps 5]
+
+Measurement rules (BENCH.md): force completion by downloading a scalar;
+fresh input content per timed call (replay cache).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _force(x):
+    return float(jnp.ravel(x)[0].astype(jnp.float32))
+
+
+def _time(fn, make_arg, reps, warm=2):
+    for _ in range(warm):
+        _force(fn(make_arg()))
+    ts = []
+    for _ in range(reps):
+        a = make_arg()
+        t0 = time.perf_counter()
+        _force(fn(a))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tracknet", choices=["tracknet"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from padel_analytics_tpu.models.tracknet import make_tracknet
+    from padel_analytics_tpu.models.tracknet_fast import FastTrackNet
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    model, in_dim = make_tracknet(8, "concat", dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 288, 512, in_dim), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x0))(jax.random.PRNGKey(0))
+
+    def fresh():
+        return jnp.asarray(
+            rng.uniform(0, 1, (B, 288, 512, in_dim)), jnp.float32
+        )
+
+    flax_fwd = jax.jit(lambda x: model.apply(variables, x))
+    fast = FastTrackNet(out_dim=8, dtype=jnp.bfloat16)
+    fast_fwd = jax.jit(lambda x: fast.apply(variables, x))
+
+    print("compiling + timing flax/XLA forward...", flush=True)
+    t_flax = _time(flax_fwd, fresh, args.reps)
+    print(
+        f"flax/XLA : {t_flax*1e3:8.2f} ms/batch  {t_flax*1e3/B:6.2f} ms/img"
+        f"  ({B/t_flax:6.1f} img/s)", flush=True,
+    )
+    print("compiling + timing pallas fast forward...", flush=True)
+    t_fast = _time(fast_fwd, fresh, args.reps)
+    print(
+        f"pallas   : {t_fast*1e3:8.2f} ms/batch  {t_fast*1e3/B:6.2f} ms/img"
+        f"  ({B/t_fast:6.1f} img/s)", flush=True,
+    )
+    print(f"speedup  : {t_flax/t_fast:.2f}x", flush=True)
+
+    # numeric check on-chip
+    xa = fresh()
+    d = np.abs(
+        np.asarray(flax_fwd(xa)) - np.asarray(fast_fwd(xa))
+    )
+    print(f"max|diff|: {d.max():.4f}  mean: {d.mean():.6f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
