@@ -77,10 +77,15 @@ def court_keypoints(w: int, h: int):
     return kp, np.array([pts[0], pts[1], pts[-1], pts[-2]])
 
 
-def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=0):
+def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
+                 staged=0, pallas=False):
     import jax.numpy as jnp
 
-    from padel_analytics_tpu.config import BallTrackerConfig
+    from padel_analytics_tpu.config import (
+        BallTrackerConfig,
+        PlayerKeypointsTrackerConfig,
+        PlayersTrackerConfig,
+    )
     from padel_analytics_tpu.ops.polygon import PolygonZone
     from padel_analytics_tpu.trackers import (
         BallTracker,
@@ -93,28 +98,38 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16, staged=
     variant = "n" if smoke else "m"
     pose_size = 64 if smoke else 1280
     ball_cfg = (
-        BallTrackerConfig(height=72, width=128, batch_size=8, median_max_sample_num=16)
+        BallTrackerConfig(height=72, width=128, batch_size=8,
+                          median_max_sample_num=16, use_pallas=pallas)
         if smoke
-        else BallTrackerConfig(batch_size=8, median_max_sample_num=64)
+        else BallTrackerConfig(batch_size=8, median_max_sample_num=64,
+                               use_pallas=pallas)
     )
     players = PlayerTracker(
         None,
         PolygonZone(polygon, frame_resolution_wh=wh),
-        batch_size=8,
         model_variant=variant,
         compute_dtype=jnp.bfloat16,
+        config=PlayersTrackerConfig(
+            model_variant=variant, batch_size=8, use_pallas=pallas,
+        ),
     )
     if smoke:
         players.IMGSZ = 64
     pose = PlayerKeypointsTracker(
         None,
-        train_image_size=pose_size,
-        batch_size=8,
         model_variant=variant,
         compute_dtype=jnp.bfloat16,
         load_path=None,
         save_path=None,
+        config=PlayerKeypointsTrackerConfig(
+            model_variant=variant,
+            train_image_size=pose_size if pose_size in (640, 1280) else 640,
+            batch_size=8,
+            use_pallas=pallas,
+        ),
     )
+    if smoke:
+        pose.train_image_size = pose_size
     ball = BallTracker(
         None, None, config=ball_cfg, compute_dtype=jnp.bfloat16
     )
@@ -190,6 +205,11 @@ def main() -> int:
     parser.add_argument("--staged", type=int, default=0)
     parser.add_argument("--no-court-modes", action="store_true")
     parser.add_argument(
+        "--pallas", action="store_true",
+        help="run the models with the Pallas fused conv kernels "
+        "(ops/pallas_conv) instead of XLA's conv emitter",
+    )
+    parser.add_argument(
         "--mesh", action="store_true",
         help="also measure run_mesh throughput on the virtual 8-device "
         "CPU mesh (subprocess; see tools/mesh_bench.py)",
@@ -210,7 +230,8 @@ def main() -> int:
 
     import contextlib
 
-    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke, args.chunk, args.staged)
+    runner = build_runner(video, out, kp, polygon, (w, h), args.smoke,
+                          args.chunk, args.staged, pallas=args.pallas)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):

@@ -168,10 +168,20 @@ def main(argv=None) -> int:
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-collect", action="store_true")
     parser.add_argument("--variant", help="YOLOv8 variant override (n/s/m/l/x)")
+    parser.add_argument(
+        "--pallas", action="store_true",
+        help="use the Pallas fused conv kernels for all models "
+        "(ops/pallas_conv; TPU fast path)",
+    )
     args = parser.parse_args(argv)
 
     t1 = timeit.default_timer()
     cfg = _load_config(args)
+    if args.pallas:
+        cfg.players.use_pallas = True
+        cfg.player_keypoints.use_pallas = True
+        cfg.court_keypoints.use_pallas = True
+        cfg.ball.use_pallas = True
     runner = build_pipeline(cfg)
     runner.run()
 

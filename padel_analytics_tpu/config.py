@@ -41,6 +41,8 @@ class PlayersTrackerConfig:
 
     model_path: Optional[str] = None
     model_variant: str = "m"  # reference default weight is yolov8m (config.py:22)
+    # Pallas fast path for stride-1 3x3 conv blocks (ops/pallas_conv)
+    use_pallas: bool = False
     batch_size: int = 8
     conf: float = 0.5
     iou: float = 0.7
@@ -66,6 +68,8 @@ class PlayerKeypointsTrackerConfig:
 
     model_path: Optional[str] = None
     model_variant: str = "m"
+    # Pallas fast path for stride-1 3x3 conv blocks (ops/pallas_conv)
+    use_pallas: bool = False
     train_image_size: int = 1280
     batch_size: int = 8
     conf: float = 0.25
@@ -91,6 +95,8 @@ class CourtKeypointsTrackerConfig:
     model_path: Optional[str] = None
     model_type: str = "yolo"  # "resnet" | "yolo"
     model_variant: str = "m"  # YOLOv8 variant for the 'yolo' mode
+    # Pallas fast path for stride-1 3x3 conv blocks (ops/pallas_conv)
+    use_pallas: bool = False
     batch_size: int = 8
     number_keypoints: int = 12
     train_image_size: int = 640
@@ -120,6 +126,8 @@ class BallTrackerConfig:
     width: int = 512
     sigma: float = 2.5
     eval_mode: str = "weight"  # temporal ensemble weighting (ball_tracker.py:227)
+    # Pallas fast path for stride-1 3x3 conv blocks (ops/pallas_conv)
+    use_pallas: bool = False
     load_path: Optional[str] = None
     save_path: Optional[str] = None
 

@@ -31,13 +31,15 @@ class _ConvStack(nn.Module):
     features: int
     n: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.n):
-            x = ConvBN(self.features, dtype=self.dtype, name=f"conv_{i + 1}")(
-                x, train=train
-            )
+            x = ConvBN(
+                self.features, dtype=self.dtype,
+                use_pallas=self.use_pallas, name=f"conv_{i + 1}",
+            )(x, train=train)
         return x
 
 
@@ -47,22 +49,24 @@ class TrackNet(nn.Module):
 
     out_dim: int = 8
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x1 = _ConvStack(64, 2, self.dtype, name="down_block_1")(x, train)
+        up = self.use_pallas
+        x1 = _ConvStack(64, 2, self.dtype, up, name="down_block_1")(x, train)
         x = max_pool_2x2(x1)
-        x2 = _ConvStack(128, 2, self.dtype, name="down_block_2")(x, train)
+        x2 = _ConvStack(128, 2, self.dtype, up, name="down_block_2")(x, train)
         x = max_pool_2x2(x2)
-        x3 = _ConvStack(256, 3, self.dtype, name="down_block_3")(x, train)
+        x3 = _ConvStack(256, 3, self.dtype, up, name="down_block_3")(x, train)
         x = max_pool_2x2(x3)
-        x = _ConvStack(512, 3, self.dtype, name="bottleneck")(x, train)
+        x = _ConvStack(512, 3, self.dtype, up, name="bottleneck")(x, train)
         x = jnp.concatenate([upsample_nearest_2x(x), x3], axis=-1)
-        x = _ConvStack(256, 3, self.dtype, name="up_block_1")(x, train)
+        x = _ConvStack(256, 3, self.dtype, up, name="up_block_1")(x, train)
         x = jnp.concatenate([upsample_nearest_2x(x), x2], axis=-1)
-        x = _ConvStack(128, 2, self.dtype, name="up_block_2")(x, train)
+        x = _ConvStack(128, 2, self.dtype, up, name="up_block_2")(x, train)
         x = jnp.concatenate([upsample_nearest_2x(x), x1], axis=-1)
-        x = _ConvStack(64, 2, self.dtype, name="up_block_3")(x, train)
+        x = _ConvStack(64, 2, self.dtype, up, name="up_block_3")(x, train)
         x = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype, name="predictor")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
@@ -114,7 +118,8 @@ class InpaintNet(nn.Module):
 
 
 def make_tracknet(
-    seq_len: int = 8, bg_mode: str = "concat", dtype: Any = jnp.float32
+    seq_len: int = 8, bg_mode: str = "concat", dtype: Any = jnp.float32,
+    use_pallas: bool = False,
 ) -> tuple[TrackNet, int]:
     """Model + input channel count by background mode (parity with
     get_model, ball_tracker.py:23-65)."""
@@ -126,4 +131,4 @@ def make_tracknet(
         in_dim = (seq_len + 1) * 3
     else:
         in_dim = seq_len * 3
-    return TrackNet(out_dim=seq_len, dtype=dtype), in_dim
+    return TrackNet(out_dim=seq_len, dtype=dtype, use_pallas=use_pallas), in_dim

@@ -61,11 +61,14 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = YoloConv(self.features, (3, 3), dtype=self.dtype, name="cv1")(x, train)
-        y = YoloConv(self.features, (3, 3), dtype=self.dtype, name="cv2")(y, train)
+        y = YoloConv(self.features, (3, 3), dtype=self.dtype,
+                     use_pallas=self.use_pallas, name="cv1")(x, train)
+        y = YoloConv(self.features, (3, 3), dtype=self.dtype,
+                     use_pallas=self.use_pallas, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
         return y
@@ -78,6 +81,7 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,7 +90,8 @@ class C2f(nn.Module):
         parts = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             parts.append(
-                Bottleneck(c, self.shortcut, dtype=self.dtype, name=f"m_{i}")(
+                Bottleneck(c, self.shortcut, dtype=self.dtype,
+                           use_pallas=self.use_pallas, name=f"m_{i}")(
                     parts[-1], train
                 )
             )
@@ -157,11 +162,14 @@ class _HeadBranch(nn.Module):
     mid: int
     out: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = YoloConv(self.mid, (3, 3), dtype=self.dtype, name="c0")(x, train)
-        x = YoloConv(self.mid, (3, 3), dtype=self.dtype, name="c1")(x, train)
+        x = YoloConv(self.mid, (3, 3), dtype=self.dtype,
+                     use_pallas=self.use_pallas, name="c0")(x, train)
+        x = YoloConv(self.mid, (3, 3), dtype=self.dtype,
+                     use_pallas=self.use_pallas, name="c1")(x, train)
         return nn.Conv(self.out, (1, 1), dtype=self.dtype, name="proj")(x)
 
 
@@ -180,6 +188,7 @@ class YOLOv8(nn.Module):
     num_classes: int = 1
     num_keypoints: int = 0  # 13 for player pose, 12 for court keypoints
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # Pallas fast path for stride-1 3x3 ConvBNs
 
     @nn.compact
     def __call__(self, images, train: bool = False, raw: bool = False):
@@ -187,32 +196,33 @@ class YOLOv8(nn.Module):
         chs = [_scale_ch(c, width, max_ch) for c in _BASE_CHANNELS]
         ns = [_scale_d(n, depth) for n in _BASE_DEPTHS]
         dt = self.dtype
+        up = self.use_pallas
 
         x = images.astype(dt)
 
         # ---- backbone ----
         x = YoloConv(chs[0], (3, 3), (2, 2), dtype=dt, name="stem")(x, train)  # P1
         x = YoloConv(chs[1], (3, 3), (2, 2), dtype=dt, name="down1")(x, train)
-        x = C2f(chs[1], ns[0], True, dtype=dt, name="c2f_1")(x, train)  # P2
+        x = C2f(chs[1], ns[0], True, dtype=dt, use_pallas=up, name="c2f_1")(x, train)  # P2
         x = YoloConv(chs[2], (3, 3), (2, 2), dtype=dt, name="down2")(x, train)
-        p3 = C2f(chs[2], ns[1], True, dtype=dt, name="c2f_2")(x, train)  # P3 /8
+        p3 = C2f(chs[2], ns[1], True, dtype=dt, use_pallas=up, name="c2f_2")(x, train)  # P3 /8
         x = YoloConv(chs[3], (3, 3), (2, 2), dtype=dt, name="down3")(p3, train)
-        p4 = C2f(chs[3], ns[2], True, dtype=dt, name="c2f_3")(x, train)  # P4 /16
+        p4 = C2f(chs[3], ns[2], True, dtype=dt, use_pallas=up, name="c2f_3")(x, train)  # P4 /16
         x = YoloConv(chs[4], (3, 3), (2, 2), dtype=dt, name="down4")(p4, train)
-        x = C2f(chs[4], ns[3], True, dtype=dt, name="c2f_4")(x, train)
+        x = C2f(chs[4], ns[3], True, dtype=dt, use_pallas=up, name="c2f_4")(x, train)
         p5 = SPPF(chs[4], dtype=dt, name="sppf")(x, train)  # P5 /32
 
         # ---- PAN neck ----
         x = jnp.concatenate([_upsample2x(p5), p4], axis=-1)
-        t1 = C2f(chs[3], ns[0], False, dtype=dt, name="neck_c2f_1")(x, train)
+        t1 = C2f(chs[3], ns[0], False, dtype=dt, use_pallas=up, name="neck_c2f_1")(x, train)
         x = jnp.concatenate([_upsample2x(t1), p3], axis=-1)
-        n3 = C2f(chs[2], ns[0], False, dtype=dt, name="neck_c2f_2")(x, train)  # /8
+        n3 = C2f(chs[2], ns[0], False, dtype=dt, use_pallas=up, name="neck_c2f_2")(x, train)  # /8
         x = YoloConv(chs[2], (3, 3), (2, 2), dtype=dt, name="neck_down1")(n3, train)
         x = jnp.concatenate([x, t1], axis=-1)
-        n4 = C2f(chs[3], ns[0], False, dtype=dt, name="neck_c2f_3")(x, train)  # /16
+        n4 = C2f(chs[3], ns[0], False, dtype=dt, use_pallas=up, name="neck_c2f_3")(x, train)  # /16
         x = YoloConv(chs[3], (3, 3), (2, 2), dtype=dt, name="neck_down2")(n4, train)
         x = jnp.concatenate([x, p5], axis=-1)
-        n5 = C2f(chs[4], ns[0], False, dtype=dt, name="neck_c2f_4")(x, train)  # /32
+        n5 = C2f(chs[4], ns[0], False, dtype=dt, use_pallas=up, name="neck_c2f_4")(x, train)  # /32
 
         # ---- heads ----
         feats = [n3, n4, n5]
@@ -226,8 +236,8 @@ class YOLOv8(nn.Module):
         all_box_logits, all_cls_logits, all_kpt_raw = [], [], []
         for i, (f, stride) in enumerate(zip(feats, strides)):
             b, h, w, _ = f.shape
-            box = _HeadBranch(c2, 4 * REG_MAX, dtype=dt, name=f"box_{i}")(f, train)
-            cls = _HeadBranch(c3, self.num_classes, dtype=dt, name=f"cls_{i}")(
+            box = _HeadBranch(c2, 4 * REG_MAX, dtype=dt, use_pallas=up, name=f"box_{i}")(f, train)
+            cls = _HeadBranch(c3, self.num_classes, dtype=dt, use_pallas=up, name=f"cls_{i}")(
                 f, train
             )
             # Anchor centers in feature cells (+0.5), scaled by stride later.
@@ -243,7 +253,7 @@ class YOLOv8(nn.Module):
                 all_cls_logits.append(cls.astype(jnp.float32))
 
             if nk:
-                kpt = _HeadBranch(c4, nk, dtype=dt, name=f"kpt_{i}")(f, train)
+                kpt = _HeadBranch(c4, nk, dtype=dt, use_pallas=up, name=f"kpt_{i}")(f, train)
                 kpt = kpt.reshape(b, h * w, self.num_keypoints, 3)
                 all_kpts.append(pose_decode(kpt, ax, ay, stride))
                 if raw:

@@ -123,6 +123,7 @@ class BallTracker(Tracker):
             self.SIGMA = config.sigma
             self.EVAL_MODE = config.eval_mode
             self.TRAJECTORY_LENGTH = config.seq_len
+            self.use_pallas = config.use_pallas
 
         self.DELTA_T = 1 / math.sqrt(self.HEIGHT**2 + self.WIDTH**2)
         self.COOR_TH = self.DELTA_T * 50
@@ -163,7 +164,8 @@ class BallTracker(Tracker):
         if self.bg_mode not in ("", "subtract", "subtract_concat", "concat"):
             raise ValueError(f"unknown bg_mode {self.bg_mode!r}")
         model, in_dim = make_tracknet(
-            self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype
+            self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype,
+            use_pallas=getattr(self, "use_pallas", False),
         )
         self.tracknet_in_dim = in_dim
         example = jnp.zeros((1, self.HEIGHT, self.WIDTH, in_dim), jnp.float32)

@@ -71,6 +71,7 @@ class KeypointsTracker(Tracker):
             self.RESNET_SIZE = config.resnet_image_size
             self.CONF = config.conf
             self.IOU = config.iou
+            self.use_pallas = config.use_pallas
 
         if model_type not in ("resnet", "yolo"):
             raise ValueError("Unknown model type")
@@ -87,6 +88,7 @@ class KeypointsTracker(Tracker):
                     num_classes=1,
                     num_keypoints=self.NUMBER_KEYPOINTS,
                     dtype=compute_dtype,
+                    use_pallas=getattr(self, "use_pallas", False),
                 )
                 example = jnp.zeros(
                     (1, self.TRAIN_IMAGE_SIZE, self.TRAIN_IMAGE_SIZE, 3), jnp.float32

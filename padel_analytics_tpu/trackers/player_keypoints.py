@@ -66,6 +66,7 @@ class PlayerKeypointsTracker(Tracker):
             self.CONF = config.conf
             self.IOU = config.iou
             self.nms_top_k = config.nms_top_k
+            self.use_pallas = config.use_pallas
 
         # The reference asserts 640/1280 (players_keypoints_tracker.py:240);
         # config-level validation enforces that for the public surface, but
@@ -75,7 +76,9 @@ class PlayerKeypointsTracker(Tracker):
         self.max_detections = max_detections
 
         model = YOLOv8(
-            variant=model_variant, num_classes=1, num_keypoints=13, dtype=compute_dtype
+            variant=model_variant, num_classes=1, num_keypoints=13,
+            dtype=compute_dtype,
+            use_pallas=getattr(self, "use_pallas", False),
         )
         example = jnp.zeros((1, train_image_size, train_image_size, 3), jnp.float32)
         variables = _engine.load_variables(

@@ -72,6 +72,7 @@ class PlayerTracker(Tracker):
             self.IOU = config.iou
             self.IMGSZ = config.imgsz
             self.nms_top_k = config.nms_top_k
+            self.use_pallas = config.use_pallas
 
         self.polygon_zone = polygon_zone
         self.batch_size = batch_size
@@ -110,7 +111,9 @@ class PlayerTracker(Tracker):
         self.num_classes = num_classes
 
         model = YOLOv8(
-            variant=model_variant, num_classes=num_classes, dtype=compute_dtype
+            variant=model_variant, num_classes=num_classes,
+            dtype=compute_dtype,
+            use_pallas=getattr(self, "use_pallas", False),
         )
         example = jnp.zeros((1, self.IMGSZ, self.IMGSZ, 3), jnp.float32)
         variables = _engine.load_variables(model, example, model_path)

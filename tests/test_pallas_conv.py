@@ -59,3 +59,67 @@ def test_fold_bn_identity():
     )
     np.testing.assert_allclose(np.asarray(scale), 1.0)
     np.testing.assert_allclose(np.asarray(bias), 0.0)
+
+
+def test_convbn_use_pallas_matches_xla_path(rng):
+    """ConvBN(use_pallas=True) must produce the XLA path's outputs from
+    the SAME parameter tree (identical names/shapes/init)."""
+    import jax
+    from flax import linen as nn
+
+    from padel_analytics_tpu.models.layers import ConvBN
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, 6)), jnp.float32)
+    ref = ConvBN(10, dtype=jnp.float32, use_pallas=False)
+    fast = ConvBN(10, dtype=jnp.float32, use_pallas=True)
+    v_ref = ref.init(jax.random.PRNGKey(7), x)
+    v_fast = fast.init(jax.random.PRNGKey(7), x)
+    # identical parameter trees (names, shapes, values)
+    flat_ref = jax.tree_util.tree_leaves_with_path(v_ref)
+    flat_fast = jax.tree_util.tree_leaves_with_path(v_fast)
+    assert [p for p, _ in flat_ref] == [p for p, _ in flat_fast]
+    for (_, a), (_, b) in zip(flat_ref, flat_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_ref = np.asarray(ref.apply(v_ref, x))
+    out_fast = np.asarray(fast.apply(v_ref, x))
+    np.testing.assert_allclose(out_fast, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_yolo_use_pallas_small_model(rng):
+    """End-to-end YOLOv8n forward with the Pallas flag: same decoded
+    outputs as the XLA path from the same variables."""
+    import jax
+
+    from padel_analytics_tpu.models.yolov8 import YOLOv8
+
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    ref = YOLOv8(variant="n", num_classes=1, dtype=jnp.float32)
+    fast = YOLOv8(variant="n", num_classes=1, dtype=jnp.float32,
+                  use_pallas=True)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    out_ref = ref.apply(v, x)
+    out_fast = fast.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fast["boxes"]), np.asarray(out_ref["boxes"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast["scores"]), np.asarray(out_ref["scores"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 24, 8), (2, 24, 16, 16)])
+def test_conv3x3_rows_variant_matches_reference(rng, shape):
+    from padel_analytics_tpu.ops.pallas_conv import conv3x3_bn_act_rows
+
+    b, h, w, cin = shape
+    cout = 12
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, cout), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    got = conv3x3_bn_act_rows(x, wgt, scale, bias, act="silu", interpret=True)
+    want = conv3x3_bn_act_reference(x, wgt, scale, bias, act="silu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

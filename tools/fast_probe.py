@@ -26,14 +26,41 @@ def _force(x):
     return float(jnp.ravel(x)[0].astype(jnp.float32))
 
 
-def _time(fn, make_arg, reps, warm=2):
-    for _ in range(warm):
-        _force(fn(make_arg()))
+@jax.jit
+def _perturb(x, i):
+    # on-device content change: defeats the transport's replay cache
+    # without re-uploading the input (BENCH.md measurement rules; a fresh
+    # host array would cost a full upload per timed call and drown the
+    # compute signal on a congested tunnel).
+    return x.at[(0,) * x.ndim].set(i * 1e-6)
+
+
+def _time(fn, x_dev, reps, warm=2):
+    for i in range(warm):
+        _force(fn(_perturb(x_dev, i + 1000)))
     ts = []
-    for _ in range(reps):
-        a = make_arg()
+    for i in range(reps):
+        xi = _perturb(x_dev, i)
+        _force(xi)  # settle the perturb dispatch outside the timed span
         t0 = time.perf_counter()
-        _force(fn(a))
+        _force(fn(xi))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure_rtt(reps: int = 5) -> float:
+    """Median round-trip of a trivial forced op (dispatch+download floor)."""
+    y = jnp.zeros((8, 128))
+
+    @jax.jit
+    def tiny(v, i):
+        return v + i
+
+    _force(tiny(y, 0))
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _force(tiny(y, i + 1))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -54,33 +81,36 @@ def main() -> int:
     x0 = jnp.zeros((1, 288, 512, in_dim), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, x0))(jax.random.PRNGKey(0))
 
-    def fresh():
-        return jnp.asarray(
-            rng.uniform(0, 1, (B, 288, 512, in_dim)), jnp.float32
-        )
+    x_dev = jnp.asarray(
+        rng.uniform(0, 1, (B, 288, 512, in_dim)), jnp.float32
+    )  # uploaded ONCE; timed calls perturb it on device
+
+    rtt = measure_rtt()
+    print(f"rtt floor: {rtt*1e3:7.2f} ms (dispatch+download)", flush=True)
 
     flax_fwd = jax.jit(lambda x: model.apply(variables, x))
     fast = FastTrackNet(out_dim=8, dtype=jnp.bfloat16)
     fast_fwd = jax.jit(lambda x: fast.apply(variables, x))
 
     print("compiling + timing flax/XLA forward...", flush=True)
-    t_flax = _time(flax_fwd, fresh, args.reps)
+    t_flax = _time(flax_fwd, x_dev, args.reps)
     print(
         f"flax/XLA : {t_flax*1e3:8.2f} ms/batch  {t_flax*1e3/B:6.2f} ms/img"
-        f"  ({B/t_flax:6.1f} img/s)", flush=True,
+        f"  (rtt-adj {max(t_flax-rtt,1e-9)*1e3/B:6.2f} ms/img)", flush=True,
     )
     print("compiling + timing pallas fast forward...", flush=True)
-    t_fast = _time(fast_fwd, fresh, args.reps)
+    t_fast = _time(fast_fwd, x_dev, args.reps)
     print(
         f"pallas   : {t_fast*1e3:8.2f} ms/batch  {t_fast*1e3/B:6.2f} ms/img"
-        f"  ({B/t_fast:6.1f} img/s)", flush=True,
+        f"  (rtt-adj {max(t_fast-rtt,1e-9)*1e3/B:6.2f} ms/img)", flush=True,
     )
-    print(f"speedup  : {t_flax/t_fast:.2f}x", flush=True)
+    print(f"speedup  : {t_flax/t_fast:.2f}x"
+          f"  (rtt-adj {max(t_flax-rtt,1e-9)/max(t_fast-rtt,1e-9):.2f}x)",
+          flush=True)
 
-    # numeric check on-chip
-    xa = fresh()
+    # numeric check on-chip (reuses the resident input)
     d = np.abs(
-        np.asarray(flax_fwd(xa)) - np.asarray(fast_fwd(xa))
+        np.asarray(flax_fwd(x_dev)) - np.asarray(fast_fwd(x_dev))
     )
     print(f"max|diff|: {d.max():.4f}  mean: {d.mean():.6f}", flush=True)
     return 0

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from padel_analytics_tpu.ops.pallas_conv import (
     conv3x3_bn_act,
     conv3x3_bn_act_reference,
+    conv3x3_bn_act_rows,
 )
 
 PEAK = 197e12
@@ -56,6 +57,13 @@ def _force(x):
     return float(jnp.ravel(x)[0].astype(jnp.float32))
 
 
+@jax.jit
+def _perturb(x, i):
+    # on-device content change per rep: defeats the transport replay
+    # cache without a fresh host upload (see tools/fast_probe.py).
+    return x.at[(0,) * x.ndim].set(i * 1e-6)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", default="both", choices=["pose", "tracknet", "both"])
@@ -63,6 +71,8 @@ def main() -> int:
     ap.add_argument("--chain", type=int, default=4)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--tile-h", type=int, default=8)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated layer-name substrings to run")
     args = ap.parse_args()
 
     layers = []
@@ -70,6 +80,9 @@ def main() -> int:
         layers += POSE
     if args.set in ("tracknet", "both"):
         layers += TRACKNET
+    if args.only:
+        keys = args.only.split(",")
+        layers = [l for l in layers if any(k in l[0] for k in keys)]
 
     rng = np.random.default_rng(0)
     B = args.batch
@@ -101,14 +114,18 @@ def main() -> int:
             ("xla", lambda x0: conv3x3_bn_act_reference(x0, wgt, scale, bias, act=act)),
             ("pallas", lambda x0: conv3x3_bn_act(
                 x0, wgt, scale, bias, act=act, tile_h=args.tile_h)),
+            ("rows", lambda x0: conv3x3_bn_act_rows(
+                x0, wgt, scale, bias, act=act, tile_h=args.tile_h)),
         ):
             try:
                 cf = chained(fn)
-                _force(cf(x))
+                _force(cf(_perturb(x, 999)))
                 ts = []
-                for _ in range(args.reps):
+                for i in range(args.reps):
+                    xi = _perturb(x, i)
+                    _force(xi)
                     t0 = time.perf_counter()
-                    _force(cf(x))
+                    _force(cf(xi))
                     ts.append(time.perf_counter() - t0)
                 t = float(np.median(ts)) / args.chain
                 tf = fl / t / 1e12
