@@ -91,10 +91,12 @@ def _conv3x3_kernel(
 def _contract_taps(x, w_ref, tile_h, w_out, cin, im2col):
     """Shared 3x3 contraction over a (rows, Wp, Cslab) VMEM slab.
 
-    im2col/pack semantics (see conv3x3_bn_act): cin < Cslab means the
-    weights were zero-row padded to the slab's lane-padded channel count,
-    so NO value-level channel slicing happens (Mosaic memref slices must
-    be lane-aligned); the zero rows contribute nothing.
+    HBM copies must stay lane-aligned (Mosaic), so the slab carries the
+    lane-padded channel count; the VALUE-level slices below drop the pad
+    lanes again, keeping the matmul contraction dense: im2col packs the
+    9 taps into K = 9*cin (the whole point for sub-128-channel layers —
+    zero-padding each tap to 128 was measured 2.3x SLOWER than XLA's
+    conv), the per-tap path contracts over cin directly.
     """
     cslab = x.shape[-1]
     m = tile_h * w_out
@@ -103,10 +105,10 @@ def _contract_taps(x, w_ref, tile_h, w_out, cin, im2col):
         for dy in range(3):
             for dx in range(3):
                 part = jax.lax.slice(
-                    x, (dy, dx, 0), (dy + tile_h, dx + w_out, cslab)
+                    x, (dy, dx, 0), (dy + tile_h, dx + w_out, cin)
                 )
-                cols.append(part.reshape(m, cslab))
-        patches = jnp.concatenate(cols, axis=-1)  # (M, 9*Cslab)
+                cols.append(part.reshape(m, cin))
+        patches = jnp.concatenate(cols, axis=-1)  # (M, 9*cin)
         return jnp.dot(
             patches, w_ref[:], preferred_element_type=jnp.float32
         )
@@ -114,8 +116,8 @@ def _contract_taps(x, w_ref, tile_h, w_out, cin, im2col):
     for dy in range(3):
         for dx in range(3):
             part = jax.lax.slice(
-                x, (dy, dx, 0), (dy + tile_h, dx + w_out, cslab)
-            ).reshape(m, cslab)
+                x, (dy, dx, 0), (dy + tile_h, dx + w_out, cin)
+            ).reshape(m, cin)
             d = jnp.dot(
                 part, w_ref[3 * dy + dx],
                 preferred_element_type=jnp.float32,
@@ -194,11 +196,10 @@ def _conv3x3_bn_act(
     xp = jnp.pad(
         x, ((0, 0), (1, 1), (1, wp - wdt - 1), (0, cpad - cin))
     )
-    wz = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
     if im2col:
-        w2 = wz.reshape(9 * cpad, cout).astype(x.dtype)
+        w2 = w.reshape(9 * cin, cout).astype(x.dtype)
     else:
-        w2 = wz.reshape(9, cpad, cout).astype(x.dtype)
+        w2 = w.reshape(9, cin, cout).astype(x.dtype)
     scale2 = scale.reshape(1, cout).astype(jnp.float32)
     bias2 = bias.reshape(1, cout).astype(jnp.float32)
 
@@ -246,16 +247,15 @@ def _conv3x3_rows_kernel(
     im2col: bool,
 ):
     rows = (x0_ref[0], x1_ref[0], x2_ref[0])  # each (TILE_H, Wp, Cpad)
-    cslab = rows[0].shape[-1]
     m = tile_h * w_out
     if im2col:
         cols = []
         for dy in range(3):
             for dx in range(3):
                 part = jax.lax.slice(
-                    rows[dy], (0, dx, 0), (tile_h, dx + w_out, cslab)
+                    rows[dy], (0, dx, 0), (tile_h, dx + w_out, cin)
                 )
-                cols.append(part.reshape(m, cslab))
+                cols.append(part.reshape(m, cin))
         patches = jnp.concatenate(cols, axis=-1)
         acc = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
     else:
@@ -263,8 +263,8 @@ def _conv3x3_rows_kernel(
         for dy in range(3):
             for dx in range(3):
                 part = jax.lax.slice(
-                    rows[dy], (0, dx, 0), (tile_h, dx + w_out, cslab)
-                ).reshape(m, cslab)
+                    rows[dy], (0, dx, 0), (tile_h, dx + w_out, cin)
+                ).reshape(m, cin)
                 d = jnp.dot(
                     part, w_ref[3 * dy + dx],
                     preferred_element_type=jnp.float32,
@@ -303,11 +303,10 @@ def _conv3x3_bn_act_rows(
         x, ((0, 0), (1, 1), (1, wp - wdt - 1), (0, cpad - cin))
     )
     views = (xp[:, 0:h], xp[:, 1 : h + 1], xp[:, 2 : h + 2])
-    wz = jnp.pad(w, ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
     if im2col:
-        w2 = wz.reshape(9 * cpad, cout).astype(x.dtype)
+        w2 = w.reshape(9 * cin, cout).astype(x.dtype)
     else:
-        w2 = wz.reshape(9, cpad, cout).astype(x.dtype)
+        w2 = w.reshape(9, cin, cout).astype(x.dtype)
     scale2 = scale.reshape(1, cout).astype(jnp.float32)
     bias2 = bias.reshape(1, cout).astype(jnp.float32)
 

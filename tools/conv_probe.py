@@ -141,11 +141,13 @@ def main():
             rng.standard_normal((k, k, cin, cout)) * 0.05, jnp.bfloat16
         )
         try:
-            _force(chained(x, wgt))  # compile+warm
+            _force(chained(_perturb(x, 999), wgt))  # compile+warm
             times = []
-            for _ in range(args.reps):
+            for i in range(args.reps):
+                xi = _perturb(x, i)
+                _force(xi)
                 t0 = time.perf_counter()
-                _force(chained(x, wgt))
+                _force(chained(xi, wgt))
                 times.append(time.perf_counter() - t0)
             t = float(np.median(times)) / args.chain
         except Exception as e:  # noqa: BLE001
