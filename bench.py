@@ -202,7 +202,13 @@ def main() -> int:
     parser.add_argument("--no-per-tracker", action="store_true")
     parser.add_argument("--no-device-metrics", action="store_true")
     parser.add_argument("--chunk", type=int, default=16)
-    parser.add_argument("--staged", type=int, default=0)
+    # Staged-scan dispatch (run_staged): 1 upload + a handful of
+    # dispatches/drains per superchunk ROUND instead of per chunk. On a
+    # tunneled host each drained array costs ~1 RTT (up to ~50 ms), so
+    # the chunked path pays 3-4 RTTs per 16 frames — staged amortizes
+    # that across staged*chunk frames. Bit-equal to chunked
+    # (tests/test_fused.py); 0 disables.
+    parser.add_argument("--staged", type=int, default=16)
     parser.add_argument("--no-court-modes", action="store_true")
     parser.add_argument(
         "--pallas", action="store_true",

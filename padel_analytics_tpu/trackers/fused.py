@@ -1090,27 +1090,41 @@ class FusedPipeline:
         )
         swap = jnp.zeros(b, jnp.float32)
 
+        def _force_scalar(o):
+            # ONE element download: forces every enqueued program (the
+            # device executes its queue in order) at the cost of a single
+            # round trip — downloading each phase's full buffers costs
+            # n_chunks RTTs and dominated the round-2 numbers (the tunnel
+            # floor is tens of ms some days).
+            np.asarray(jax.device_get(o.ravel()[0]))
+
+        # dispatch+download floor, subtracted from each phase below
+        tiny = jax.jit(lambda v, i: v + i)
+        zb = jnp.zeros((8, 128))
+        _force_scalar(tiny(zb, 0))
+        t0 = time.perf_counter()
+        for i in range(3):
+            _force_scalar(tiny(zb, i + 1))
+        rtt = (time.perf_counter() - t0) / 3
+
         def phase(name, fn):
             t0 = time.perf_counter()
             outs = [fn(fd) for fd in fds]
-            for o in outs:
-                np.asarray(o)
-            raw[name] = time.perf_counter() - t0
+            _force_scalar(outs[-1])
+            raw[name] = max(time.perf_counter() - t0 - rtt, 1e-9)
 
         phase("det_s", lambda fd: det_step(self.players.engine.variables, fd))
         phase("pose_s", lambda fd: pose_step(self.pose.engine.variables, fd))
 
         t0 = time.perf_counter()
-        outs = []
+        pk = None
         for k, fd in enumerate(fds):
             pk, fc, hc = ball_step(
                 ball.tracknet.variables, fd, median_dev, median_src_dev,
                 fc, hc, coef_table_dev, k * b, swap,
             )
-            outs.append(pk)
-        for o in outs:
-            np.asarray(o)
-        raw["ball_s"] = time.perf_counter() - t0
+        _force_scalar(pk)
+        raw["ball_s"] = max(time.perf_counter() - t0 - rtt, 1e-9)
 
         if court_step is not None:
             phase(
@@ -1122,6 +1136,7 @@ class FusedPipeline:
         )
 
         split: dict = {k: round(v, 3) for k, v in raw.items()}
+        split["rtt_s"] = round(rtt, 4)
         split["frames"] = frames_used
         split["device_ms_per_frame"] = round(compute_s / frames_used * 1e3, 2)
         split["device_fps"] = round(frames_used / max(compute_s, 1e-9), 2)
