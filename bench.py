@@ -215,9 +215,12 @@ def main() -> int:
         help="run the models with the Pallas fused conv kernels "
         "(ops/pallas_conv) instead of XLA's conv emitter",
     )
+    # On by default so the official artifact carries the measured-scaling
+    # section (the driver invokes plain `python bench.py`); the CPU
+    # subprocess is independent of the chip.
     parser.add_argument(
-        "--mesh", action="store_true",
-        help="also measure run_mesh throughput on the virtual 8-device "
+        "--mesh", action=argparse.BooleanOptionalAction, default=True,
+        help="measure run_mesh throughput on the virtual 8-device "
         "CPU mesh (subprocess; see tools/mesh_bench.py)",
     )
     args = parser.parse_args()
@@ -332,7 +335,7 @@ def main() -> int:
         print(f"bench: court modes {court_modes}", file=sys.stderr)
 
     mesh_scaling = None
-    if args.mesh:
+    if args.mesh and not args.smoke:
         import subprocess
 
         print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
