@@ -14,6 +14,17 @@ normalization and dtype cast, and batch over frames — so "preprocessing"
 is just part of the compiled forward graph instead of a per-frame PIL hot
 loop.
 
+The matrices are banded (a bicubic row has ~4*max(scale,1) taps,
+cv2-linear exactly 2), so `apply` can run a pass in *block-banded* form:
+the dst axis is tiled into 128-row blocks and each block matmuls only the
+contiguous src band holding its taps — identical per-row products
+(byte-exact vs Pillow at f64, tests/test_ops_resize.py), up to ~10x fewer
+MACs at production shapes. The v5e A/B (tools/resize_probe.py,
+RTT-subtracted) shows the block form only pays off above ~5x MAC savings
+(the pose squash 1080p->1280^2 passes); below that the dense matmul's
+better tile amortization wins, so `apply` gates per pass on the measured
+threshold. Still all MXU matmuls either way: no gathers, static shapes.
+
 Weight construction reproduces each source library's semantics:
 
 - `pil_resample_matrix`: Pillow's convolution resampling (triangle/bicubic
@@ -130,6 +141,41 @@ def cv2_bilinear_matrix(src: int, dst: int) -> np.ndarray:
     return rows.astype(np.float32)
 
 
+def _band_plan(R: np.ndarray, tile: int):
+    """Tile the dst axis of a (dst, src) resample matrix into blocks of
+    `tile` rows and extract, per block, the contiguous src band that holds
+    every nonzero tap of its rows.
+
+    Resample matrices are banded (bicubic: ~4*max(scale,1) taps/row;
+    cv2-linear: 2), so each block only ever reads a window of
+    ~tile*scale + taps source pixels. Returns (starts, W, n_tiles, B):
+    `W[t]` is the (tile, B) dense sub-matrix such that
+    ``out[t*tile:(t+1)*tile] = W[t] @ x[starts[t]:starts[t]+B]`` exactly
+    reproduces the full matmul's per-row products (all nonzeros of every
+    row lie inside its block's window; the padding columns are zero).
+    """
+    dst, src = R.shape
+    nz = R != 0.0
+    any_nz = nz.any(axis=1)
+    lo = np.where(any_nz, nz.argmax(axis=1), 0)
+    hi = np.where(any_nz, src - nz[:, ::-1].argmax(axis=1), 1)
+    n_tiles = -(-dst // tile)
+    starts, widths = [], []
+    for t in range(n_tiles):
+        r0, r1 = t * tile, min((t + 1) * tile, dst)
+        s, e = int(lo[r0:r1].min()), int(hi[r0:r1].max())
+        starts.append(s)
+        widths.append(e - s)
+    # Uniform band width, 8-sublane aligned, clamped to src.
+    B = min(src, -(-max(widths) // 8) * 8)
+    starts = [max(0, min(s, src - B)) for s in starts]
+    W = np.zeros((n_tiles, tile, B), dtype=R.dtype)
+    for t, s in enumerate(starts):
+        r0, r1 = t * tile, min((t + 1) * tile, dst)
+        W[t, : r1 - r0, :] = R[r0:r1, s : s + B]
+    return np.asarray(starts), W, n_tiles, B
+
+
 @dataclass(frozen=True)
 class ResizePlan:
     """Precomputed separable resize; `apply` runs on device as matmuls."""
@@ -146,16 +192,81 @@ class ResizePlan:
     def src_hw(self) -> tuple[int, int]:
         return (self.r_h.shape[1], self.r_w.shape[1])
 
-    def apply(self, images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    def _pass(
+        self, x, R: np.ndarray, axis: int, dtype, prec, banded, tile,
+        min_ratio: float = 5.0,
+    ):
+        """One separable resampling pass contracting `axis` (-2 = W,
+        -3 = H) of a (..., H, W, C) stack against the (dst, src) matrix.
+
+        banded=True runs the block-banded form: the dst axis is tiled and
+        each tile matmuls only its source band — identical per-row tap
+        products, 5-10x fewer MACs than the dense matmul at production
+        scales (e.g. 1920->1280 bicubic reads a 256-wide band per
+        128-row tile instead of all 1920 columns). Dense is kept for
+        small shapes where the band covers most of src anyway.
+        """
+        import jax
+
+        dst, src = R.shape
+        if banded:
+            starts, W, n_tiles, B = _band_plan(R, tile)
+            # Only worth it at a large per-pass MAC ratio: the v5e A/B
+            # (tools/resize_probe.py, RTT-subtracted) shows the block form
+            # wins at ~9x fewer MACs (pose squash passes) but loses to the
+            # dense matmul below ~5x — small tile matmuls amortize worse.
+            if dst * src > min_ratio * (B * n_tiles * tile) and n_tiles > 1:
+                bands = jnp.stack(
+                    [
+                        jax.lax.slice_in_dim(x, int(s), int(s) + B, axis=axis)
+                        for s in starts
+                    ],
+                    axis=0,
+                )
+                Wt = jnp.asarray(W, dtype=dtype)
+                if axis == -2:
+                    out = jnp.einsum(
+                        "n...bc,ntb->n...tc", bands, Wt, precision=prec
+                    )
+                    out = jnp.moveaxis(out, 0, -3)
+                    out = out.reshape(*out.shape[:-3], n_tiles * tile, out.shape[-1])
+                    return jax.lax.slice_in_dim(out, 0, dst, axis=-2)
+                else:  # axis == -3
+                    out = jnp.einsum(
+                        "n...bwc,ntb->n...twc", bands, Wt, precision=prec
+                    )
+                    out = jnp.moveaxis(out, 0, -4)
+                    out = out.reshape(
+                        *out.shape[:-4], n_tiles * tile, *out.shape[-2:]
+                    )
+                    return jax.lax.slice_in_dim(out, 0, dst, axis=-3)
+        Rd = jnp.asarray(R, dtype=dtype)
+        if axis == -2:
+            return jnp.einsum("...hwc,pw->...hpc", x, Rd, precision=prec)
+        return jnp.einsum("...hwc,oh->...owc", x, Rd, precision=prec)
+
+    def apply(
+        self,
+        images: jnp.ndarray,
+        dtype=jnp.float32,
+        banded: Optional[bool] = None,
+        tile: int = 128,
+        min_ratio: float = 5.0,
+    ) -> jnp.ndarray:
         """Resize a (..., H, W, C) image stack.
 
         Horizontal pass then vertical pass (Pillow's order), optionally
         quantizing the intermediate to uint8 like Pillow's 8-bit path.
+        `banded` (default on) uses the block-banded matmul form for any
+        pass whose dense/banded MAC ratio clears `min_ratio` — exact same
+        per-row tap products, a fraction of the dense MACs (the pose
+        squash passes at ~9x; small-ratio passes stay dense, which the
+        v5e A/B measured as faster).
         """
         import jax
 
-        r_h = jnp.asarray(self.r_h, dtype=dtype)
-        r_w = jnp.asarray(self.r_w, dtype=dtype)
+        if banded is None:
+            banded = True
         x = images.astype(dtype)
         # Precision HIGH: the TPU's default f32 matmul is a single bf16
         # pass (~8 mantissa bits -> up to 2 intensity steps off Pillow,
@@ -164,12 +275,12 @@ class ResizePlan:
         # HIGHEST. CPU/GPU backends ignore it.
         prec = jax.lax.Precision.HIGH
         # Horizontal: contract W. (..., H, W, C) x (W', W) -> (..., H, W', C)
-        x = jnp.einsum("...hwc,pw->...hpc", x, r_w, precision=prec)
+        x = self._pass(x, self.r_w, -2, dtype, prec, banded, tile, min_ratio)
         if self.quantize_intermediate:
             # Pillow's clip8: round half UP, clamp to uint8.
             x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
         # Vertical: contract H. (..., H, W', C) x (H', H) -> (..., H', W', C)
-        x = jnp.einsum("...hwc,oh->...owc", x, r_h, precision=prec)
+        x = self._pass(x, self.r_h, -3, dtype, prec, banded, tile, min_ratio)
         return x
 
 

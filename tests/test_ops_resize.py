@@ -43,6 +43,80 @@ def test_pil_resize_parity(rng, src, dst, pil_filter):
     assert (diff > 0).mean() < 0.02
 
 
+@pytest.mark.parametrize(
+    "src,dst,method,pil_filter",
+    [
+        ((135, 240), (160, 160), "pil_bicubic", Image.BICUBIC),
+        ((135, 240), (64, 112), "pil_bicubic", Image.BICUBIC),
+        ((96, 128), (192, 256), "pil_bicubic", Image.BICUBIC),  # upscale
+        ((135, 240), (96, 96), "pil_bilinear", Image.BILINEAR),
+    ],
+)
+def test_banded_resize_pil_parity(rng, src, dst, method, pil_filter):
+    """The block-banded matmul path (tile=16 forces multiple tiles at these
+    shapes) reproduces the dense path's per-row tap products: byte-exact vs
+    Pillow at f64, <=1 intensity step at f32."""
+    import jax.numpy as jnp
+
+    img = _rand_img(rng, *src)
+    plan = resize_plan(src, dst, method)
+    ref = np.asarray(Image.fromarray(img).resize(dst[::-1], pil_filter))
+
+    o64 = np.asarray(
+        plan.apply(np.asarray(img, np.float64), dtype=jnp.float64, banded=True, tile=16, min_ratio=1.2)
+    )
+    np.testing.assert_array_equal(
+        np.clip(np.floor(o64 + 0.5), 0, 255).astype(np.uint8), ref
+    )
+    o32 = np.asarray(plan.apply(np.asarray(img, np.float32), banded=True, tile=16, min_ratio=1.2))
+    d = np.abs(
+        np.clip(np.floor(o32 + 0.5), 0, 255).astype(int) - ref.astype(int)
+    )
+    assert d.max() <= 1 and (d > 0).mean() < 0.02
+
+
+def test_banded_resize_batched_matches_unbatched(rng):
+    """Banded path handles leading batch dims like per-image calls.
+
+    XLA may pick a different contraction order for the batched dispatch,
+    so agreement is to reduction-order noise (~1e-5), far below the uint8
+    quantization step — not bitwise."""
+    imgs = np.stack([_rand_img(rng, 135, 240) for _ in range(3)])
+    plan = resize_plan((135, 240), (96, 160), "pil_bicubic")
+    batched = np.asarray(plan.apply(np.asarray(imgs, np.float32), banded=True, tile=16, min_ratio=1.2))
+    single = np.stack(
+        [
+            np.asarray(plan.apply(np.asarray(i, np.float32), banded=True, tile=16, min_ratio=1.2))
+            for i in imgs
+        ]
+    )
+    np.testing.assert_allclose(batched, single, atol=1e-3)
+
+
+def test_band_plan_covers_all_taps():
+    """Every nonzero of each dst row lies inside its tile's extracted band,
+    and re-assembling the tiles reproduces the dense matrix exactly."""
+    from padel_analytics_tpu.ops.resize import _band_plan, pil_resample_matrix
+
+    for src, dst in [(1920, 1280), (1080, 288), (240, 512)]:
+        R = pil_resample_matrix(src, dst, "bicubic")
+        starts, W, n_tiles, B = _band_plan(R, 128)
+        dense = np.zeros_like(R)
+        for t, s in enumerate(starts):
+            r0, r1 = t * 128, min((t + 1) * 128, dst)
+            dense[r0:r1, s : s + B] += W[t, : r1 - r0]
+        np.testing.assert_array_equal(dense, R)
+
+
+def test_banded_cv2_linear_exact_vs_dense(rng):
+    """cv2-linear (2-tap) banded output equals cv2 within fixed-point slack."""
+    img = _rand_img(rng, 135, 240)
+    plan = resize_plan((135, 240), (45, 80), "cv2_linear")
+    ours = np.asarray(plan.apply(np.asarray(img, np.float32), banded=True, tile=16, min_ratio=1.2))
+    ref = cv2.resize(img, (80, 45), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 1.0
+
+
 def test_pil_default_filter_is_bicubic(rng):
     """The reference calls Image.resize without a filter
     (players_keypoints_tracker.py:264); pin the default."""

@@ -80,6 +80,20 @@ def main() -> int:
     rdiff = int(np.abs(ours_u8.astype(int) - pil.astype(int)).max())
     check("pil_bicubic_resize", rdiff <= 1, f"maxdiff={rdiff}")
 
+    # ---- banded resize path at a multi-tile production-like shape ----
+    # (108,192)->(64,64) above takes the single-tile dense fallback; this
+    # one exercises the block-banded matmul the fused pipeline runs at
+    # 1080p (tile=128, multiple tiles, HIGH-precision band matmuls).
+    img_b = rng.integers(0, 256, (540, 960, 3), np.uint8)
+    plan_b = resize_plan((540, 960), (288, 512), "pil_bicubic")
+    out_b = np.asarray(
+        plan_b.apply(jnp.asarray(img_b, jnp.float32), banded=True, min_ratio=1.2)
+    )
+    ours_b = np.clip(np.floor(out_b + 0.5), 0, 255).astype(np.uint8)
+    pil_b = np.asarray(Image.fromarray(img_b).resize((512, 288), Image.BICUBIC))
+    bdiff = int(np.abs(ours_b.astype(int) - pil_b.astype(int)).max())
+    check("pil_bicubic_resize_banded", bdiff <= 1, f"maxdiff={bdiff}")
+
     # ---- cv2-bilinear resize (the letterbox/det path's kernel) ----
     plan_cv = resize_plan((108, 192), (64, 114), "cv2_linear")
     out_cv = np.asarray(plan_cv.apply(jnp.asarray(img, jnp.float32)))
