@@ -282,32 +282,37 @@ def main() -> int:
     per_tracker = None
     seq_frames = min(n, 96)
     if not args.no_per_tracker and not args.smoke:
-        from padel_analytics_tpu.trackers.runner import FrameStore
+        # Each optional section below is failure-isolated: the official
+        # artifact's JSON line must print even if a section dies.
+        try:
+            from padel_analytics_tpu.trackers.runner import FrameStore
 
-        tracker_names = list(runner.trackers.keys())
-        with contextlib.redirect_stdout(sys.stderr):
-            runner.restart()
-            runner.fused = False
-            runner.frame_store = FrameStore(video, 0, 1, seq_frames)
-            runner.total_frames = seq_frames
-            print("bench: per-tracker warmup (sequential compiles)...")
-            runner.run()  # warmup: sequential step compiles
-            runner.restart()
-            runner.stage_times.clear()
-            runner.run()
-        # Fixed-court "inference" is a constant-time list copy (no model);
-        # a ~0s stage would print as a absurd 6-digit fps, so report it as
-        # the non-number it is.
-        per_tracker = {
-            name: (round(seq_frames / t, 2) if t > 0.01 else "no-op")
-            for name, t in runner.stage_times.items()
-            if t > 0 and name in tracker_names
-        }
-        print(
-            f"bench: per-tracker fps (sequential, batch 8, "
-            f"{seq_frames} frames): {per_tracker}",
-            file=sys.stderr,
-        )
+            tracker_names = list(runner.trackers.keys())
+            with contextlib.redirect_stdout(sys.stderr):
+                runner.restart()
+                runner.fused = False
+                runner.frame_store = FrameStore(video, 0, 1, seq_frames)
+                runner.total_frames = seq_frames
+                print("bench: per-tracker warmup (sequential compiles)...")
+                runner.run()  # warmup: sequential step compiles
+                runner.restart()
+                runner.stage_times.clear()
+                runner.run()
+            # Fixed-court "inference" is a constant-time list copy (no
+            # model); a ~0s stage would print as a absurd 6-digit fps, so
+            # report it as the non-number it is.
+            per_tracker = {
+                name: (round(seq_frames / t, 2) if t > 0.01 else "no-op")
+                for name, t in runner.stage_times.items()
+                if t > 0 and name in tracker_names
+            }
+            print(
+                f"bench: per-tracker fps (sequential, batch 8, "
+                f"{seq_frames} frames): {per_tracker}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: per-tracker section skipped: {e!r}", file=sys.stderr)
     # Device-resident split: what the chip itself sustains once frames are
     # in HBM (the host->device link is the e2e bottleneck on this tunneled
     # host — BENCH.md; on PCIe-attached production hosts this is the
@@ -316,13 +321,19 @@ def main() -> int:
     if not args.no_device_metrics and not args.smoke:
         pipe = getattr(runner, "_fused_pipeline", None)
         if pipe is not None:
-            from padel_analytics_tpu.utils.video import frame_generator
+            try:
+                from padel_analytics_tpu.utils.video import frame_generator
 
-            with contextlib.redirect_stdout(sys.stderr):
-                device_split = pipe.measure_device_split(
-                    frame_generator(video), n, n_chunks=4
+                with contextlib.redirect_stdout(sys.stderr):
+                    device_split = pipe.measure_device_split(
+                        frame_generator(video), n, n_chunks=4
+                    )
+                print(
+                    f"bench: device-resident split {device_split}",
+                    file=sys.stderr,
                 )
-            print(f"bench: device-resident split {device_split}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: device split skipped: {e!r}", file=sys.stderr)
 
     # Model-based court modes (round-2 verdict item 5): the reference
     # also ships yolo/resnet court keypoints (keypoints_tracker.py:199-312);
@@ -330,28 +341,43 @@ def main() -> int:
     # model in the schedule.
     court_modes = None
     if not args.no_court_modes and not args.smoke:
-        with contextlib.redirect_stdout(sys.stderr):
-            court_modes = bench_court_modes(runner, video, n)
-        print(f"bench: court modes {court_modes}", file=sys.stderr)
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                court_modes = bench_court_modes(runner, video, n)
+            print(f"bench: court modes {court_modes}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: court-modes section skipped: {e!r}", file=sys.stderr)
 
     mesh_scaling = None
     if args.mesh and not args.smoke:
         import subprocess
 
         print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, str(Path(__file__).parent / "tools" / "mesh_bench.py"),
-             "--frames", "96"],
-            capture_output=True, text=True, timeout=1200,
-        )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                mesh_scaling = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-        if mesh_scaling is None:
-            print(f"bench: mesh bench failed: {proc.stderr[-500:]}", file=sys.stderr)
+        # Failure-isolated: this section must NEVER take down the official
+        # artifact. The subprocess recompiles the whole pipeline for the
+        # virtual CPU mesh on this single-core host — under contention
+        # that once blew the 1200s timeout, and the uncaught
+        # TimeoutExpired killed bench.py before the JSON line printed.
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).parent / "tools" / "mesh_bench.py"),
+                 "--frames", "96"],
+                capture_output=True, text=True, timeout=1200,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    mesh_scaling = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if mesh_scaling is None:
+                print(
+                    f"bench: mesh bench failed: {proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+        except (subprocess.TimeoutExpired, OSError) as e:
+            print(f"bench: mesh bench skipped: {e!r}", file=sys.stderr)
 
     record = {
         "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",

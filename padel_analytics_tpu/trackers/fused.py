@@ -1107,6 +1107,29 @@ class FusedPipeline:
             _force_scalar(tiny(zb, i + 1))
         rtt = (time.perf_counter() - t0) / 3
 
+        # ---- untimed warmup of every phase program ----
+        # The e2e pass that usually precedes this may have run the
+        # STAGED-scan programs (bench.py's default dispatch since r3), not
+        # these chunked ones — in which case the first det/pose call here
+        # pays a 30-200s XLA compile that is NOT device throughput (an
+        # r3 bench run recorded det_s=32s/pose_s=69s of pure compile).
+        # Warm on a dedicated perturbed buffer so the transport's replay
+        # cache cannot serve the first TIMED dispatch from the warmup.
+        warm_arr = np.array(np.asarray(fds[0]))
+        warm_arr.flat[n_chunks] ^= 1
+        fdw = jnp.asarray(warm_arr)
+        np.asarray(fdw[(0,) * fdw.ndim])
+        _force_scalar(det_step(self.players.engine.variables, fdw))
+        _force_scalar(pose_step(self.pose.engine.variables, fdw))
+        pw, _, _ = ball_step(
+            ball.tracknet.variables, fdw, median_dev, median_src_dev,
+            fc, hc, coef_table_dev, 0, swap,
+        )
+        _force_scalar(pw)
+        if court_step is not None:
+            _force_scalar(court_step(self.court.engine.variables, fdw))
+        del fdw, warm_arr
+
         def phase(name, fn):
             t0 = time.perf_counter()
             outs = [fn(fd) for fd in fds]

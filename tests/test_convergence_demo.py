@@ -1,9 +1,12 @@
-"""TrackNet training convergence (round-2 verdict item 10): the train
-step LEARNS — decoded ball positions converge to ground truth on a
-synthetic rally, not merely a one-step loss decrease.
+"""Training convergence demos (round-2 verdict item 10): the train
+steps LEARN in their evaluation metrics, not merely a one-step loss
+decrease.
 
-Full demo: python tools/convergence_demo.py (60 steps: mean error
-22px -> 0.5px, 100% within 4px)."""
+- TrackNet: decoded ball positions converge on a synthetic rally
+  (python tools/convergence_demo.py — 60 steps: mean error 22px ->
+  0.5px, 100% within 4px).
+- YOLOv8 detection: held-out mAP@0.5 rises from 0 to ~0.87 on synthetic
+  scenes (python tools/yolo_convergence_demo.py, 150 steps)."""
 
 import numpy as np
 
@@ -21,5 +24,22 @@ def test_tracknet_training_converges():
     # loss dropped by an order of magnitude
     losses = out["losses"]
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) / 10, (
+        np.mean(losses[:5]), np.mean(losses[-5:]),
+    )
+
+
+def test_yolo_detection_training_converges():
+    """From-scratch YOLOv8-n reaches usable held-out detection quality
+    (the metric the reference's players tracker lives on), driving the
+    full loss stack (TAL assigner + CIoU + DFL + BCE) and the NMS decode
+    path end to end."""
+    from tools.yolo_convergence_demo import run_demo
+
+    out = run_demo(steps=150, verbose=False, force_cpu=False)
+    before, after = out["before"], out["after"]
+    assert before["map50"] < 0.2, before
+    assert after["map50"] >= 0.6, (before, after)
+    losses = out["losses"]
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) / 3, (
         np.mean(losses[:5]), np.mean(losses[-5:]),
     )
