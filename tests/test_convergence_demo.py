@@ -28,6 +28,18 @@ def test_tracknet_training_converges():
     )
 
 
+def test_inpaintnet_training_converges():
+    """InpaintNet learns gap-filling on HELD-OUT trajectories: masked-
+    position pixel error drops >3x from the untrained ~290px (see the
+    demo's docstring for why ~60-90px is the toy family's floor)."""
+    from tools.inpaint_convergence_demo import run_demo
+
+    out = run_demo(steps=600, verbose=False, force_cpu=False)
+    assert out["before_px"] > 180, out
+    assert out["after_px"] < 120, out
+    assert out["after_px"] < out["before_px"] / 3, out
+
+
 def test_yolo_detection_training_converges():
     """From-scratch YOLOv8-n reaches usable held-out detection quality
     (the metric the reference's players tracker lives on), driving the
