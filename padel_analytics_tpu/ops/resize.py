@@ -249,7 +249,7 @@ class ResizePlan:
         self,
         images: jnp.ndarray,
         dtype=jnp.float32,
-        banded: Optional[bool] = None,
+        banded: bool = True,
         tile: int = 128,
         min_ratio: float = 5.0,
     ) -> jnp.ndarray:
@@ -265,8 +265,6 @@ class ResizePlan:
         """
         import jax
 
-        if banded is None:
-            banded = True
         x = images.astype(dtype)
         # Precision HIGH: the TPU's default f32 matmul is a single bf16
         # pass (~8 mantissa bits -> up to 2 intensity steps off Pillow,

@@ -1067,6 +1067,7 @@ class FusedPipeline:
         # ---- decode up front (untimed), then pack + upload per chunk ----
         fw.fill_to(frames_used)
         fds = []
+        arr0 = None
         pack_s = 0.0
         t0 = time.perf_counter()
         for k in range(n_chunks):
@@ -1078,6 +1079,8 @@ class FusedPipeline:
                 arr = arr.copy()
             arr.flat[k] ^= 1  # replay-cache defeat: distinct content
             pack_s += time.perf_counter() - tp
+            if k == 0:
+                arr0 = arr.copy()  # host-side copy for the warmup buffer
             fd = jnp.asarray(arr)
             np.asarray(fd[(0,) * fd.ndim])  # force the upload
             fds.append(fd)
@@ -1115,9 +1118,10 @@ class FusedPipeline:
         # r3 bench run recorded det_s=32s/pose_s=69s of pure compile).
         # Warm on a dedicated perturbed buffer so the transport's replay
         # cache cannot serve the first TIMED dispatch from the warmup.
-        warm_arr = np.array(np.asarray(fds[0]))
-        warm_arr.flat[n_chunks] ^= 1
-        fdw = jnp.asarray(warm_arr)
+        # (arr0 is chunk 0's host-side copy — re-downloading the chunk
+        # from the device would cost ~100 MB over the tunnel.)
+        arr0.flat[n_chunks] ^= 1
+        fdw = jnp.asarray(arr0)
         np.asarray(fdw[(0,) * fdw.ndim])
         _force_scalar(det_step(self.players.engine.variables, fdw))
         _force_scalar(pose_step(self.pose.engine.variables, fdw))
@@ -1128,7 +1132,7 @@ class FusedPipeline:
         _force_scalar(pw)
         if court_step is not None:
             _force_scalar(court_step(self.court.engine.variables, fdw))
-        del fdw, warm_arr
+        del fdw, arr0
 
         def phase(name, fn):
             t0 = time.perf_counter()

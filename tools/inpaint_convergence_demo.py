@@ -61,8 +61,11 @@ def masked_px_error(model, params, rally):
 
     errs = []
     scale = np.asarray(rally.img_wh, np.float32)
+    # batch_size=4 divides the eval rally's 12 stride-SEQ_LEN windows, so
+    # ALL held-out windows are scored (the generator drops a trailing
+    # partial batch).
     for coords, mask, target in coordinate_window_batches(
-        rally, seq_len=SEQ_LEN, batch_size=8, sliding_step=SEQ_LEN
+        rally, seq_len=SEQ_LEN, batch_size=4, sliding_step=SEQ_LEN
     ):
         pred = model.apply({"params": params}, coords, mask)
         d = np.asarray(pred - target) * scale
@@ -118,8 +121,12 @@ def run_demo(steps: int = 400, n: int = 400, lr: float = 2e-3,
 
     losses = []
     step = 0
+    sweep = 0  # one full batch sweep per rally; NOT step-derived (step
+    # advances by a fixed batch count per rally, which would alias onto
+    # a subset of the rally list)
     while step < steps:
-        rally = train_rallies[step % len(train_rallies)]
+        rally = train_rallies[sweep % len(train_rallies)]
+        sweep += 1
         for coords_b, mask_b, target_b in coordinate_window_batches(
             rally, seq_len=SEQ_LEN, batch_size=8, rng=rng, sliding_step=4
         ):
