@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
@@ -115,21 +116,34 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
     )
     if smoke:
         players.IMGSZ = 64
-    pose = PlayerKeypointsTracker(
-        None,
-        model_variant=variant,
-        compute_dtype=jnp.bfloat16,
-        load_path=None,
-        save_path=None,
-        config=PlayerKeypointsTrackerConfig(
-            model_variant=variant,
-            train_image_size=pose_size if pose_size in (640, 1280) else 640,
-            batch_size=8,
-            use_pallas=pallas,
-        ),
-    )
     if smoke:
-        pose.train_image_size = pose_size
+        # Constructor path: it accepts any train_image_size (the config
+        # validates the reference's {640, 1280} public surface), so the
+        # model initializes directly at the tiny smoke size instead of
+        # paying a 640 init and being patched after the fact.
+        pose = PlayerKeypointsTracker(
+            None,
+            train_image_size=pose_size,
+            batch_size=8,
+            model_variant=variant,
+            compute_dtype=jnp.bfloat16,
+            load_path=None,
+            save_path=None,
+        )
+    else:
+        pose = PlayerKeypointsTracker(
+            None,
+            model_variant=variant,
+            compute_dtype=jnp.bfloat16,
+            load_path=None,
+            save_path=None,
+            config=PlayerKeypointsTrackerConfig(
+                model_variant=variant,
+                train_image_size=pose_size,
+                batch_size=8,
+                use_pallas=pallas,
+            ),
+        )
     ball = BallTracker(
         None, None, config=ball_cfg, compute_dtype=jnp.bfloat16
     )
@@ -195,6 +209,77 @@ def bench_court_modes(runner, video: str, n: int) -> dict:
     return out
 
 
+def _force_cpu_platform() -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def wait_for_backend(time_left, smoke: bool = False) -> None:
+    """Block until a JAX backend can actually run a device op.
+
+    Round 3's official artifact died at the FIRST device op: the tunneled
+    TPU backend was unavailable at run time and the uncaught RuntimeError
+    killed bench.py before the JSON line printed (BENCH_r03.json rc=1).
+    Probe in a SUBPROCESS (a failed in-process backend init can leave jax
+    in a poisoned state, and a wedged tunnel HANGS rather than erroring)
+    with bounded backoff while the bench deadline allows; raises once it
+    doesn't. Only after a probe succeeds does the main process touch the
+    device. In smoke mode a failed probe falls back to the CPU platform
+    (the smoke number is a CI sanity value, not a device figure).
+    """
+    import subprocess
+
+    # The axon site hook pre-imports jax pinned to the tunneled TPU and
+    # ignores the JAX_PLATFORMS env var — honoring an explicit platform
+    # request needs jax.config.update after import (ROADMAP.md). The
+    # probe mirrors that so `JAX_PLATFORMS=cpu python bench.py` really
+    # benches the CPU instead of a wedged tunnel.
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((8, 128))\n"
+        "assert float(x.sum()) == 8 * 128\n"
+        "print('backend:', jax.devices()[0].platform)\n"
+    )
+    attempt = 0
+    last = None
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                capture_output=True, text=True, timeout=180,
+            )
+            if proc.returncode == 0:
+                print(
+                    f"bench: backend probe ok ({proc.stdout.strip()})",
+                    file=sys.stderr,
+                )
+                return
+            last = proc.stderr.strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = "backend probe timed out (180s) — tunnel wedged?"
+        print(
+            f"bench: backend probe failed (try {attempt}): {last}",
+            file=sys.stderr,
+        )
+        if smoke:
+            print("bench: smoke falls back to CPU platform", file=sys.stderr)
+            _force_cpu_platform()
+            return
+        # Leave headroom for the error-path JSON emission; each loop
+        # costs <=180s probe + 60s sleep.
+        if time_left() < 420:
+            raise RuntimeError(
+                f"device backend unavailable after {attempt} tries: {last}"
+            )
+        time.sleep(60)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -225,6 +310,41 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    # The official artifact contract: stdout carries EXACTLY ONE JSON
+    # line, no matter what dies. `record` is filled incrementally by the
+    # body; main prints it from a finally (round-3 verdict item 1a).
+    record: dict = {
+        "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
+        "value": None,
+        "unit": "frames/sec/chip",
+        "vs_baseline": None,
+    }
+    t_start = time.monotonic()
+    deadline_s = float(os.environ.get("PAT_BENCH_DEADLINE_S", "2700"))
+
+    def time_left() -> float:
+        return deadline_s - (time.monotonic() - t_start)
+
+    rc = 0
+    try:
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            # Explicit CPU request (tests/dev): the axon site hook ignores
+            # the env var, so pin it via config before any device op.
+            _force_cpu_platform()
+        wait_for_backend(time_left, smoke=args.smoke)
+        _bench_body(args, record, time_left)
+    except Exception as e:  # noqa: BLE001
+        record["error"] = repr(e)[:500]
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        rc = 1
+    finally:
+        print(json.dumps(record))
+    return rc
+
+
+def _bench_body(args, record: dict, time_left) -> None:
     if args.smoke:
         w, h, n = 128, 96, 32
     else:
@@ -275,13 +395,24 @@ def main() -> int:
             if len(elapsed) == 2 and max(elapsed) / min(elapsed) < 1.5:
                 break
         fps = n / min(elapsed)
+    # Headline lands in the record the moment it exists: a crash in any
+    # later section leaves a valid artifact.
+    record["value"] = round(fps, 2)
+    record["vs_baseline"] = round(fps / fps_video, 2)
+    record["config"] = {
+        "frames": n,
+        "staged": args.staged,
+        "chunk": args.chunk,
+        "pose_image_size": 64 if args.smoke else 1280,
+        "ingest": "i420",
+    }
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded
     # timed sequential passes at batch 8 over the head of the clip, folded
     # into the official JSON artifact. --no-per-tracker skips them.
     per_tracker = None
     seq_frames = min(n, 96)
-    if not args.no_per_tracker and not args.smoke:
+    if not args.no_per_tracker and not args.smoke and time_left() > 600:
         # Each optional section below is failure-isolated: the official
         # artifact's JSON line must print even if a section dies.
         try:
@@ -318,7 +449,7 @@ def main() -> int:
     # host — BENCH.md; on PCIe-attached production hosts this is the
     # pipeline's actual ceiling). Reuses the warm compiled fused steps.
     device_split = None
-    if not args.no_device_metrics and not args.smoke:
+    if not args.no_device_metrics and not args.smoke and time_left() > 180:
         pipe = getattr(runner, "_fused_pipeline", None)
         if pipe is not None:
             try:
@@ -340,7 +471,7 @@ def main() -> int:
     # time their fused court sub-step and a fused e2e pass with the court
     # model in the schedule.
     court_modes = None
-    if not args.no_court_modes and not args.smoke:
+    if not args.no_court_modes and not args.smoke and time_left() > 420:
         try:
             with contextlib.redirect_stdout(sys.stderr):
                 court_modes = bench_court_modes(runner, video, n)
@@ -349,7 +480,7 @@ def main() -> int:
             print(f"bench: court-modes section skipped: {e!r}", file=sys.stderr)
 
     mesh_scaling = None
-    if args.mesh and not args.smoke:
+    if args.mesh and not args.smoke and time_left() > 240:
         import subprocess
 
         print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
@@ -358,12 +489,14 @@ def main() -> int:
         # virtual CPU mesh on this single-core host — under contention
         # that once blew the 1200s timeout, and the uncaught
         # TimeoutExpired killed bench.py before the JSON line printed.
+        # Budget: whatever is left under the bench deadline, capped.
         try:
             proc = subprocess.run(
                 [sys.executable,
                  str(Path(__file__).parent / "tools" / "mesh_bench.py"),
                  "--frames", "96"],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True,
+                timeout=max(120.0, min(1200.0, time_left() - 60)),
             )
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
@@ -379,12 +512,6 @@ def main() -> int:
         except (subprocess.TimeoutExpired, OSError) as e:
             print(f"bench: mesh bench skipped: {e!r}", file=sys.stderr)
 
-    record = {
-        "metric": "end_to_end_fps_1080p" if not args.smoke else "end_to_end_fps_smoke",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / fps_video, 2),
-    }
     if per_tracker is not None:
         record["per_tracker_fps_batch8"] = per_tracker
         record["per_tracker_frames"] = seq_frames
@@ -423,8 +550,6 @@ def main() -> int:
         record["court_modes"] = court_modes
     if mesh_scaling is not None:
         record["mesh_scaling_cpu_virtual"] = mesh_scaling
-    print(json.dumps(record))
-    return 0
 
 
 if __name__ == "__main__":

@@ -105,9 +105,23 @@ def build_and_run(args, weights: dict, tmp: Path) -> dict:
         save_path=tmp / "ball.json",
     )
     ours["ball"] = str(tmp / "ball.json")
-    court = KeypointsTracker(
-        fixed_keypoints_detection=kp, save_path=tmp / "keypoints.json"
-    )
+    if weights.get("court"):
+        # Validate the court model path itself (reference
+        # keypoints_tracker.py:199-312 ships yolo AND resnet variants) —
+        # with a court checkpoint present the fixed-keypoints shortcut
+        # would leave the 'keypoints' comparison vacuous.
+        court = KeypointsTracker(
+            weights["court"],
+            batch_size=8,
+            model_type=_court_model_type(args, weights["court"]),
+            model_variant=args.variant,
+            compute_dtype=jnp.bfloat16,
+            save_path=tmp / "keypoints.json",
+        )
+    else:
+        court = KeypointsTracker(
+            fixed_keypoints_detection=kp, save_path=tmp / "keypoints.json"
+        )
     ours["keypoints"] = str(tmp / "keypoints.json")
 
     runner = TrackingRunner(
@@ -120,6 +134,30 @@ def build_and_run(args, weights: dict, tmp: Path) -> dict:
     )
     runner.run()
     return ours
+
+
+def _court_model_type(args, path: str) -> str:
+    """'yolo' or 'resnet' for court.pt: the flag when given, otherwise
+    inferred from the checkpoint's structure (an ultralytics pickle
+    carries a 'model' nn.Module / dict; a resnet state_dict is flat
+    tensor keys like 'layer1.0.conv1.weight' — keypoints_tracker.py:158
+    vs :165)."""
+    if args.court_model_type != "auto":
+        return args.court_model_type
+    from ..models.convert import load_torch_checkpoint
+
+    ckpt = load_torch_checkpoint(path)
+    if isinstance(ckpt, dict):
+        keys = set(ckpt.keys())
+        if "model" in keys or "ema" in keys:
+            return "yolo"
+        if any(k.startswith(("layer", "fc.", "conv1.")) for k in keys):
+            return "resnet"
+    if hasattr(ckpt, "state_dict"):
+        keys = set(ckpt.state_dict().keys())
+        if any(k.startswith(("layer", "fc.", "conv1.")) for k in keys):
+            return "resnet"
+    return "yolo"
 
 
 REF_CACHE_NAMES = {
@@ -149,6 +187,11 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="validation_report.json")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--variant", default="m")
+    parser.add_argument(
+        "--court-model-type", default="auto",
+        choices=("auto", "yolo", "resnet"),
+        help="court.pt architecture; 'auto' infers from the checkpoint",
+    )
     parser.add_argument("--strict", action="store_true",
                         help="non-zero exit when anything is skipped or >1px")
     args = parser.parse_args(argv)

@@ -669,7 +669,14 @@ class BallTracker(Tracker):
     def _set_median_resized(self) -> None:
         # Median at model resolution (iterable.py:76-81 semantics) or a
         # placeholder for the window-step signature; shared recipe with
-        # the fused pipeline (_ballwindow.median_model_resolution).
+        # the fused pipeline (_ballwindow.median_model_resolution). On an
+        # empty clip the median may still be None (no frames buffered):
+        # keep the zeros placeholder so 'concat' doesn't dereference it.
+        if self.median is None:
+            self._median_resized = np.zeros(
+                (self.HEIGHT, self.WIDTH, 3), np.uint8
+            )
+            return
         self._median_resized = median_model_resolution(
             self.median, self.HEIGHT, self.WIDTH, self.bg_mode
         )

@@ -205,7 +205,7 @@ class _ResultBuilder:
                                 xy=(float(kpts_np[f, d, i, 0]),
                                     float(kpts_np[f, d, i, 1])),
                             )
-                            for i in range(13)
+                            for i in range(kpts_np.shape[2])
                         ]
                     )
                     for d in range(kpts_np.shape[1])

@@ -1,5 +1,9 @@
 """ByteTrack association behavior tests."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 from padel_analytics_tpu.ops.association import ByteTrack

@@ -11,6 +11,8 @@ module (a) bounds the divergence rate on crowded synthetic scenes and
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import jax.numpy as jnp
 
 from padel_analytics_tpu.ops.association import ByteTrack

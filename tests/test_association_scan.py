@@ -1,5 +1,9 @@
 """On-device scan ByteTrack tests (fixed-size state, greedy matching)."""
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 import numpy as np
 
 import jax.numpy as jnp

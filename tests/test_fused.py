@@ -12,6 +12,8 @@ models for shape/length coverage.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import jax.numpy as jnp
 
 from padel_analytics_tpu.config import BallTrackerConfig

@@ -13,6 +13,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from _reference_loader import (
     reference_data_analytics_module,
     reference_projected_court_module,

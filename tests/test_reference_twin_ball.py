@@ -34,6 +34,8 @@ from types import SimpleNamespace
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 import torch
 
 import jax.numpy as jnp

@@ -17,6 +17,8 @@ import types
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 import torch
 
 from _reference_loader import REF, ensure_stub, load_module
