@@ -13,17 +13,26 @@ Differences vs host ByteTrack (documented, not hidden):
   instead of Hungarian — identical except on exact-cost ties;
 - constant-velocity box prediction without the Kalman covariance
   machinery (predict = x + v, update = observation + velocity EMA);
-- fixed MAX_TRACKS slots; IDs still allocated in first-seen order;
-- unconfirmed (spawned, not yet re-matched) tracks compete in stage 1
-  at the same 0.2 IoU gate as confirmed ones and age out through
-  max_lost rather than being deleted on their first unmatched frame —
-  host ByteTrack runs a separate 0.3-gated unconfirmed pass with
-  immediate removal, so a one-frame false positive can briefly hold a
-  slot (and an ID) here that the host path would discard.
+  in particular the host's lost-track height-velocity zeroing
+  (STrack.multi_predict) has no device equivalent;
+- fixed MAX_TRACKS slots; IDs still allocated in first-seen order.
 
-Same two-stage thresholds: high dets (>= track_thresh) match first,
-low dets (> 0.1) keep lost-ish tracks alive, new tracks require
-det_thresh = track_thresh + 0.1 and confirm on the second hit.
+Track lifecycle now mirrors the host path (ops/association.py:227-291,
+the supervision/ByteTrack semantics of the reference's
+players_tracker.py:367-369):
+- stage 1: ACTIVATED tracks (tracked + lost) vs high dets
+  (> track_thresh), IoU >= 1 - match_thresh;
+- stage 2: stage-1 leftovers that are still TRACKED (matched last
+  frame) vs low dets (0.1 < s < track_thresh), IoU >= 0.5; unmatched
+  tracked tracks go lost;
+- unconfirmed pass: spawned-last-frame tracks vs leftover high dets at
+  IoU >= 0.3 (host cost gate 0.7); matched -> activated and emit this
+  frame, unmatched -> REMOVED immediately (a one-frame false positive
+  never holds an ID);
+- spawn from leftover high dets >= det_thresh = track_thresh + 0.1,
+  unactivated (emit from their second hit; frame 0 activates
+  instantly);
+- lost tracks expire after max_lost frames.
 """
 
 from __future__ import annotations
@@ -89,29 +98,44 @@ def _make_step(
     def step(state: TrackState, frame):
         fboxes, fscores, fvalid = frame
         d = fboxes.shape[0]
-        high = fvalid & (fscores >= track_thresh)
-        low = fvalid & (fscores > 0.1) & ~high
+        # Strict split like the host (association.py:203-204): a score
+        # exactly at track_thresh falls in neither bucket.
+        high = fvalid & (fscores > track_thresh)
+        low = fvalid & (fscores > 0.1) & (fscores < track_thresh)
 
         pred = state.boxes + state.velocity
         active = state.ids > 0
+        pool = active & state.confirmed  # activated: tracked + lost
+        unconf = active & ~state.confirmed  # spawned last frame
+        # tracked = matched last frame; lost = confirmed with age > 0
+        tracked_prev = pool & (state.age_since_update == 0)
         iou = box_iou(pred, fboxes)
 
-        # stage 1: active tracks vs high detections
-        m1 = _greedy_match(iou, active, high, 1.0 - match_thresh, max_tracks)
+        # stage 1: activated tracks vs high detections
+        m1 = _greedy_match(iou, pool, high, 1.0 - match_thresh, max_tracks)
         matched1 = m1 >= 0
-        # stage 2: still-unmatched tracks vs low dets
-        rem = active & ~matched1
         # scatter-MAX, not set: unmatched rows clip to index 0 and a
         # plain set could overwrite a genuine True with False.
-        col_used = (
+        col_used1 = (
             jnp.zeros((d,), jnp.int32)
             .at[jnp.clip(m1, 0)]
             .max(matched1.astype(jnp.int32))
             > 0
         )
-        m2 = _greedy_match(iou, rem, low & ~col_used, 0.5, max_tracks)
+        # stage 2: still-unmatched TRACKED tracks vs low dets (lost
+        # tracks only re-match on high dets, host association.py:248-250)
+        m2 = _greedy_match(
+            iou, tracked_prev & ~matched1, low, 0.5, max_tracks
+        )
         matched2 = m2 >= 0
-        match_col = jnp.where(matched1, m1, jnp.where(matched2, m2, -1))
+        # unconfirmed pass: last frame's spawns vs leftover high dets at
+        # the host's 0.7 cost gate = IoU >= 0.3 (association.py:271-289)
+        m3 = _greedy_match(iou, unconf, high & ~col_used1, 0.3, max_tracks)
+        matched3 = m3 >= 0
+
+        match_col = jnp.where(
+            matched1, m1, jnp.where(matched2, m2, jnp.where(matched3, m3, -1))
+        )
         matched = match_col >= 0
 
         obs = fboxes[jnp.clip(match_col, 0)]
@@ -122,10 +146,12 @@ def _make_step(
         )
         new_boxes = jnp.where(matched[:, None], obs, pred)
         new_age = jnp.where(matched, 0, state.age_since_update + 1)
-        new_confirmed = state.confirmed | matched
+        new_confirmed = state.confirmed | matched3
 
-        # expire stale tracks
-        alive = active & (new_age <= max_lost)
+        # expire stale tracks; unmatched unconfirmed are removed NOW
+        # (host: frames_since_update = max_time_lost + 1, pruned same
+        # frame — association.py:288-290)
+        alive = active & (new_age <= max_lost) & ~(unconf & ~matched3)
         ids = jnp.where(alive, state.ids, 0)
 
         # spawn tracks from unmatched high dets above det_thresh

@@ -319,11 +319,12 @@ class FusedPipeline:
         court: Optional[KeypointsTracker] = None,
         chunk: int = 16,
         ingest: str = "rgb",
-        association: str = "host",
+        association: str = "auto",
+        wire_long_side: int = 960,
     ):
-        if ingest not in ("rgb", "i420"):
+        if ingest not in ("rgb", "i420", "derived"):
             raise ValueError(f"unknown ingest {ingest!r}")
-        if association not in ("host", "device"):
+        if association not in ("host", "device", "auto"):
             raise ValueError(f"unknown association {association!r}")
         self.players = players
         self.pose = pose
@@ -347,24 +348,62 @@ class FusedPipeline:
         # pipeline bottleneck (BENCH.md), so this ~halves ingest wall
         # clock; the only output deviation vs 'rgb' is the chroma
         # subsampling round trip (PARITY.md).
+        # 'derived': the host downscales each frame to a wire resolution
+        # (aspect-preserving, long side <= wire_long_side, even dims) and
+        # ships THAT as I420; every model input is derived on device from
+        # the wire buffer and coordinates scale back to source pixels.
+        # With the reference's largest production input at 640
+        # (det/court; pose offers the reference-supported 640 mode,
+        # players_keypoints_tracker.py:240) a 960-wide wire buffer sits
+        # above every model resample, and 1080p ingest bytes drop 4x vs
+        # full-res I420 — the host->device link is the e2e bottleneck
+        # (BENCH.md). Output deltas vs 'rgb' are the chroma round trip +
+        # the resample chain (PARITY.md; bounded by
+        # tests/test_fused_derived.py).
         self.ingest = ingest
         self._ingest_pref = ingest
+        self.wire_long_side = int(wire_long_side)
         # 'device': track IDs come from the on-device association scan
         # (ops/association_scan.associate_chunk) carried chunk to chunk —
         # the host ByteTrack (supervision-parity Kalman+Hungarian) never
         # runs and the drain stays pure-numpy. Documented divergence vs
         # host ByteTrack: greedy matching + constant-velocity prediction
-        # (see association_scan module docstring); bounded by
-        # tests/test_association_device.py.
+        # (see association_scan module docstring); <1% ID divergence on
+        # crowded synthetics (tests/test_association_device.py).
+        # 'auto': host on the single-device paths (exact supervision
+        # parity is free there — ByteTrack overlaps in-flight device
+        # work), device in run_mesh (where the sequential host loop is
+        # the one per-frame host cost the mesh can't hide).
         self.association = association
         self._step_cache = {}
 
+    def _assoc_device(self, mesh: bool) -> bool:
+        """Whether this path assigns track IDs with the on-device scan."""
+        if self.association == "auto":
+            return mesh
+        return self.association == "device"
+
+    def _wire(self, src_hw: tuple[int, int]):
+        """((wire_h, wire_w), sx, sy): the on-the-wire frame resolution
+        and the wire->source coordinate scale. Identity except in
+        'derived' ingest, where the wire buffer is the aspect-preserving
+        downscale to long side <= wire_long_side, rounded to even dims
+        (I420 chroma is 2x2-subsampled)."""
+        if self.ingest != "derived":
+            return src_hw, 1.0, 1.0
+        h, w = src_hw
+        scale = min(1.0, self.wire_long_side / max(h, w))
+        wh = max(2, int(round(h * scale / 2)) * 2)
+        ww = max(2, int(round(w * scale / 2)) * 2)
+        return (wh, ww), w / ww, h / wh
+
     def _ingest_decode(self, src_hw: tuple[int, int]):
-        """Jittable raw-chunk -> (B, H, W, 3) float32 RGB decode."""
-        if self.ingest == "i420":
+        """Jittable raw-chunk -> (B, H', W', 3) float32 RGB decode, where
+        (H', W') is the WIRE resolution (= source except in 'derived')."""
+        if self.ingest in ("i420", "derived"):
             from ..ops.color import i420_to_rgb
 
-            h = src_hw[0]
+            h = self._wire(src_hw)[0][0]
             return lambda buf: i420_to_rgb(buf, h)
         return lambda frames: frames.astype(jnp.float32)
 
@@ -372,7 +411,8 @@ class FusedPipeline:
         """Pick the run's wire format from the configured preference:
         I420 needs even dimensions. Recomputed per run (not a one-way
         latch) so one odd-dimension clip doesn't downgrade every later
-        run of a cached pipeline to 2x the ingest bytes."""
+        run of a cached pipeline to 2x the ingest bytes. 'derived' wire
+        dims are rounded to even by _wire, so no fallback is needed."""
         self.ingest = self._ingest_pref
         if self.ingest == "i420" and (src_hw[0] % 2 or src_hw[1] % 2):
             print(
@@ -381,10 +421,31 @@ class FusedPipeline:
             )
             self.ingest = "rgb"
 
+    def wire_bytes_per_frame(self, src_hw: tuple[int, int]) -> int:
+        """Bytes one frame costs on the host->device link in the current
+        wire format (the e2e bottleneck — BENCH.md)."""
+        (wh, ww), _, _ = self._wire(src_hw)
+        if self.ingest in ("i420", "derived"):
+            return wh * ww * 3 // 2
+        return wh * ww * 3
+
     def _pack_chunk(self, chunk_frames: list[np.ndarray]) -> np.ndarray:
         """Host-side chunk packing in the ingest's wire format."""
         from ..io.native import pack_frames
 
+        if self.ingest == "derived":
+            import cv2
+
+            (wh, ww), _, _ = self._wire(chunk_frames[0].shape[:2])
+            return np.stack(
+                [
+                    cv2.cvtColor(
+                        cv2.resize(f, (ww, wh), interpolation=cv2.INTER_AREA),
+                        cv2.COLOR_RGB2YUV_I420,
+                    )
+                    for f in chunk_frames
+                ]
+            )
         if self.ingest == "i420":
             import cv2
 
@@ -405,7 +466,8 @@ class FusedPipeline:
 
     def _build_det_step(self, src_hw: tuple[int, int]):
         h_src, w_src = src_hw
-        lb = letterbox_plan(src_hw, self.players.IMGSZ)
+        wire_hw, wsx, wsy = self._wire(src_hw)
+        lb = letterbox_plan(wire_hw, self.players.IMGSZ)
         det_model = self.players.engine.model
         polygon = (
             jnp.asarray(np.asarray(self.players.polygon_zone.polygon))
@@ -434,13 +496,13 @@ class FusedPipeline:
                 max_det=max_d,
                 top_k=self.players.nms_top_k,
             )
-            boxes = lb.boxes_to_source(boxes)
+            boxes = lb.boxes_to_source(boxes)  # wire pixels
             boxes = jnp.stack(
                 [
-                    jnp.clip(boxes[..., 0], 0, w_src),
-                    jnp.clip(boxes[..., 1], 0, h_src),
-                    jnp.clip(boxes[..., 2], 0, w_src),
-                    jnp.clip(boxes[..., 3], 0, h_src),
+                    jnp.clip(boxes[..., 0] * wsx, 0, w_src),
+                    jnp.clip(boxes[..., 1] * wsy, 0, h_src),
+                    jnp.clip(boxes[..., 2] * wsx, 0, w_src),
+                    jnp.clip(boxes[..., 3] * wsy, 0, h_src),
                 ],
                 axis=-1,
             )
@@ -471,7 +533,12 @@ class FusedPipeline:
     def _build_pose_step(self, src_hw: tuple[int, int]):
         h_src, w_src = src_hw
         pose_size = self.pose.train_image_size
-        pose_plan = resize_plan(src_hw, (pose_size, pose_size), "pil_bicubic")
+        # Squash-resize from the WIRE buffer; keypoints in model space map
+        # to source pixels by src/pose_size regardless of the wire dims
+        # (x_wire * pose/ww * w_src/pose == x_wire * sx).
+        pose_plan = resize_plan(
+            self._wire(src_hw)[0], (pose_size, pose_size), "pil_bicubic"
+        )
         pose_model = self.pose.engine.model
         conf_p, iou_p, max_p = (
             self.pose.CONF,
@@ -519,8 +586,11 @@ class FusedPipeline:
         b = self.chunk
         seq_len = self.ball.tracknet_seq_len
         bg_mode = self.ball.bg_mode
+        # 'derived': the resize to model resolution starts from the wire
+        # buffer; the subtract modes' median is downscaled to the wire
+        # resolution host-side (_gather_setup) to match.
         pre = make_frame_preprocess(
-            src_hw, (self.ball.HEIGHT, self.ball.WIDTH), bg_mode
+            self._wire(src_hw)[0], (self.ball.HEIGHT, self.ball.WIDTH), bg_mode
         )
         tracknet = self.ball.tracknet.model
         decode = self._ingest_decode(src_hw)
@@ -565,11 +635,16 @@ class FusedPipeline:
         24 flat (x, y) in source pixels + a validity flag."""
         decode = self._ingest_decode(src_hw)
         court = self.court
+        wire_hw, wsx, wsy = self._wire(src_hw)
+        # The inner steps emit coordinates in their input-frame pixels
+        # (the wire buffer); scale back to source.
+        wire_to_src = jnp.asarray([wsx, wsy], jnp.float32)
         if self.court_mode == "yolo":
-            inner = court._build_yolo_step(src_hw, self.chunk)
+            inner = court._build_yolo_step(wire_hw, self.chunk)
 
             def court_step(court_vars, frames_raw):
                 kpts, valid = inner(court_vars, decode(frames_raw))
+                kpts = kpts * wire_to_src
                 b = kpts.shape[0]
                 return jnp.concatenate(
                     [kpts.reshape(b, -1), valid[:, None].astype(jnp.float32)],
@@ -577,10 +652,11 @@ class FusedPipeline:
                 )
 
         else:  # resnet: always valid
-            inner = court._build_resnet_step(src_hw, self.chunk)
+            inner = court._build_resnet_step(wire_hw, self.chunk)
 
             def court_step(court_vars, frames_raw):
                 kpts = inner(court_vars, decode(frames_raw))
+                kpts = kpts * wire_to_src
                 b = kpts.shape[0]
                 return jnp.concatenate(
                     [kpts.reshape(b, -1), jnp.ones((b, 1), jnp.float32)],
@@ -672,9 +748,9 @@ class FusedPipeline:
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
-        self._check_ingest(src_hw)
 
-        key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest, self.court_mode)
+        key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest,
+               self.wire_long_side, self.court_mode)
         if key not in self._step_cache:
             det_scan, pose_scan, ball_scan, court_scan = self._build_scan_steps(
                 src_hw, s
@@ -709,7 +785,7 @@ class FusedPipeline:
         builder = _ResultBuilder(self, n, src_hw, stream)
 
         assoc_state = None
-        if self.association == "device":
+        if self._assoc_device(mesh=False):
             from ..ops.association_scan import init_state
 
             assoc_state = init_state()
@@ -828,7 +904,7 @@ class FusedPipeline:
         """Jitted (det, pose, ball, court-or-None) sub-steps, cached per
         (resolution, chunk, bg_mode, ingest, court_mode)."""
         key = (src_hw, self.chunk, self.ball.bg_mode, self.ingest,
-               self.court_mode)
+               self.wire_long_side, self.court_mode)
         if key not in self._step_cache:
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw)),
@@ -888,7 +964,6 @@ class FusedPipeline:
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
-        self._check_ingest(src_hw)
 
         det_step, pose_step, ball_step, court_step = self._get_steps(src_hw)
         (median_dev, median_src_dev, coef_table_dev, frame_carry,
@@ -966,7 +1041,7 @@ class FusedPipeline:
     ):
         ball = self.ball
         assoc_state = None
-        if self.association == "device":
+        if self._assoc_device(mesh=False):
             from ..ops.association_scan import init_state
 
             assoc_state = init_state()
@@ -1057,7 +1132,6 @@ class FusedPipeline:
         )
         if n < b:
             return None
-        self._check_ingest(src_hw)
         det_step, pose_step, ball_step, court_step = self._get_steps(src_hw)
 
         n_chunks = min(n_chunks, n // b)
@@ -1189,9 +1263,14 @@ class FusedPipeline:
         whole clip: frame axis sharded with seq_len-1 halo exchange via
         ring ppermute over ICI (parallel/sharded_inference.py).
 
-        Association always runs host-side here (ByteTrack parity path):
-        the frame axis is sharded across chips while ID assignment is
-        globally sequential, so a device scan would serialize the mesh.
+        Association defaults to the on-device scan here ('auto' ->
+        device): ID assignment is globally sequential, so the host
+        alternative is a per-frame Python ByteTrack loop on the drain
+        critical path — the one per-frame host cost the mesh cannot
+        hide. The scan itself is a tiny carried program per block
+        (negligible next to the sharded convs; XLA gathers the packed
+        det rows, ~6 floats/det). association='host' still forces exact
+        supervision parity.
 
         Ball output is bit-equal to the single-device run(); det/pose
         agree to float tolerance (GSPMD batch-sharded convolutions round
@@ -1211,16 +1290,17 @@ class FusedPipeline:
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
-        self._check_ingest(src_hw)
         if n < seq_len or -(-n // d) < seq_len - 1:
             raise ValueError(
                 f"clip ({n} frames) too short for {d}-way frame sharding"
             )
 
-        key = ("mesh", src_hw, b, ball.bg_mode, self.ingest, id(mesh))
+        key = ("mesh", src_hw, b, ball.bg_mode, self.ingest,
+               self.wire_long_side, id(mesh))
         if key not in self._step_cache:
             pre = make_frame_preprocess(
-                src_hw, (ball.HEIGHT, ball.WIDTH), ball.bg_mode
+                self._wire(src_hw)[0], (ball.HEIGHT, ball.WIDTH),
+                ball.bg_mode,
             )
             decode = self._ingest_decode(src_hw)
 
@@ -1252,6 +1332,11 @@ class FusedPipeline:
         zero_frame = np.zeros_like(fw.first())
         pre_frames: list[np.ndarray] = []
 
+        assoc_state = None
+        if self._assoc_device(mesh=True):
+            from ..ops.association_scan import init_state
+
+            assoc_state = init_state()
         num_blocks = -(-n // b)
         pending = None
         for k in range(num_blocks):
@@ -1275,9 +1360,21 @@ class FusedPipeline:
                 if court_step is not None
                 else None
             )
+            det_ids = None
+            if assoc_state is not None:
+                from ..ops.association_scan import associate_chunk
+
+                assoc_state, det_ids = associate_chunk(
+                    assoc_state,
+                    det_packed[..., :4],
+                    det_packed[..., 4],
+                    det_packed[..., 5] > 0.5,
+                    first=(k == 0),
+                )
             if pending is not None:
                 self._drain_block(pending, builder, n, pre_frames)
-            pending = (lo, det_packed, pose_packed, pre_packed, court_packed)
+            pending = (lo, det_packed, pose_packed, pre_packed, court_packed,
+                       det_ids)
         if pending is not None:
             self._drain_block(pending, builder, n, pre_frames)
 
@@ -1301,11 +1398,14 @@ class FusedPipeline:
         return builder.finish()
 
     def _drain_block(self, item, builder: _ResultBuilder, n, pre_frames):
-        lo, det_packed, pose_packed, pre_packed, court_packed = item
+        lo, det_packed, pose_packed, pre_packed, court_packed, det_ids = item
         n_real = max(0, min(lo + det_packed.shape[0], n) - lo)
         if not n_real:
             return
-        self._unpack_frames(builder, det_packed, pose_packed, court_packed, n_real)
+        self._unpack_frames(
+            builder, det_packed, pose_packed, court_packed, n_real,
+            det_ids=det_ids,
+        )
         pre_frames.extend(np.asarray(pre_packed)[:n_real])
 
     # ------------------------------------------------------------------
@@ -1340,17 +1440,30 @@ class FusedPipeline:
             raise ValueError("clip shorter than seq_len")
         n = total_frames  # trusted like the reference
         src_hw = fw.first().shape[:2]
+        # Settle the run's wire format HERE, before anything derives from
+        # it (the median below must match the resolution the device-side
+        # difference runs at).
+        self._check_ingest(src_hw)
         quirk_flags = np.zeros(n, np.float32)
         quirk_flags[: min(quirk_upto, n)] = 1.0
 
         median_resized = median_model_resolution(
             ball.median, ball.HEIGHT, ball.WIDTH, ball.bg_mode
         )
-        # Source-resolution float median for the subtract modes' on-device
-        # difference images; tiny placeholder otherwise.
-        median_src = (
-            ball.median.astype(np.float32)
-            if subtract_mode
-            else np.zeros((1, 1, 3), np.float32)
-        )
+        # Float median for the subtract modes' on-device difference
+        # images, at the resolution those differences run at (source, or
+        # the wire resolution in 'derived' ingest); tiny placeholder
+        # otherwise.
+        if subtract_mode:
+            median_src = ball.median.astype(np.float32)
+            wire_hw = self._wire(src_hw)[0]
+            if wire_hw != tuple(src_hw):
+                import cv2
+
+                median_src = cv2.resize(
+                    median_src, (wire_hw[1], wire_hw[0]),
+                    interpolation=cv2.INTER_AREA,
+                )
+        else:
+            median_src = np.zeros((1, 1, 3), np.float32)
         return median_resized, median_src, fw, quirk_flags, n, src_hw

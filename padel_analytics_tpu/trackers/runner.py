@@ -171,8 +171,14 @@ class TrackingRunner:
         fused: bool = False,
         fused_chunk: int = 16,
         fused_staged: int = 0,  # >0: scan this many chunks per dispatch
-        fused_ingest: str = "i420",  # wire format; 'rgb' for exact cv2 parity
-        fused_association: str = "host",  # 'device': on-device ID scan
+        # Wire format: 'rgb' for exact cv2 parity, 'i420' (1.5 B/px),
+        # or 'derived' (downscaled I420 wire buffer, every model input
+        # derived on device — the documented fast path, PARITY.md).
+        fused_ingest: str = "i420",
+        fused_wire_long_side: int = 960,  # 'derived' wire long side
+        # 'auto': host ByteTrack single-device (exact supervision
+        # parity), on-device ID scan under a mesh; 'host'/'device' force.
+        fused_association: str = "auto",
         # Draw concurrently with inference. A win when host cores are
         # plentiful; on single-core hosts the drawer contends with the
         # upload path's own CPU cost (serialization/compression) and SLOWS
@@ -187,6 +193,7 @@ class TrackingRunner:
         self.fused_chunk = fused_chunk
         self.fused_staged = fused_staged
         self.fused_ingest = fused_ingest
+        self.fused_wire_long_side = fused_wire_long_side
         self.fused_association = fused_association
         self.fused_stream_draw = fused_stream_draw
         self.mesh = mesh
@@ -286,6 +293,7 @@ class TrackingRunner:
                 chunk=self.fused_chunk,
                 ingest=self.fused_ingest,
                 association=self.fused_association,
+                wire_long_side=self.fused_wire_long_side,
             )
 
         # Streaming draw: render/collect concurrently with inference (host

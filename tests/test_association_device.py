@@ -86,9 +86,56 @@ def test_device_assoc_divergence_vs_bytetrack(seed):
         max_tracks=16,
     )
     rate = _divergence_rate(host_ids, np.asarray(dev_ids), valid)
-    # Documented bound: on crowded-but-separable linear scenes the greedy
-    # scan agrees with Hungarian ByteTrack on >=95% of assignments.
-    assert rate < 0.05, f"divergence {rate:.3f}"
+    # Documented bound (round-3 verdict item 4): with the full host
+    # track lifecycle (unconfirmed pass, tracked-only stage 2, immediate
+    # FP removal) the greedy scan agrees with Hungarian ByteTrack on
+    # >=99% of assignments on crowded linear scenes.
+    assert rate < 0.01, f"divergence {rate:.3f}"
+
+
+def _scene_with_false_positives(rng, fp_rate=0.15, n_fp=4, **kw):
+    """Crowded scene plus one-frame high-conf false positives — the case
+    the unconfirmed-track pass exists for."""
+    boxes, scores, valid = _synthetic_scene(rng, **kw)
+    f_n = scores.shape[0]
+    fb = np.zeros((f_n, n_fp, 4), np.float32)
+    fs = np.zeros((f_n, n_fp), np.float32)
+    fv = np.zeros((f_n, n_fp), bool)
+    for f in range(f_n):
+        for j in range(n_fp):
+            if rng.random() < fp_rate:
+                c = rng.uniform([40, 40], [1100, 600])
+                s = rng.uniform(35, 80, 2)
+                fb[f, j] = (*c, *(c + s))
+                fs[f, j] = rng.uniform(0.5, 0.9)
+                fv[f, j] = True
+    return (np.concatenate([boxes, fb], 1), np.concatenate([scores, fs], 1),
+            np.concatenate([valid, fv], 1))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_device_assoc_divergence_with_false_positives(seed):
+    """One-frame false positives must not hold IDs: divergence vs host
+    ByteTrack stays <1% even on FP-riddled crowded scenes (round-3
+    verdict item 4; seed 7 is the worst of an 8-seed sweep at 0.22%)."""
+    rng = np.random.default_rng(seed)
+    boxes, scores, valid = _scene_with_false_positives(rng)
+    f_n, d_n = scores.shape
+
+    bt = ByteTrack(frame_rate=30.0)
+    host_ids = np.zeros((f_n, d_n), np.int64)
+    for f in range(f_n):
+        keep = valid[f]
+        ids_f, kept = bt.update_with_detections(boxes[f][keep], scores[f][keep])
+        sel = np.flatnonzero(keep)[kept]
+        host_ids[f, sel] = ids_f
+
+    dev_ids, _ = associate_clip(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        max_tracks=24,
+    )
+    rate = _divergence_rate(host_ids, np.asarray(dev_ids), valid)
+    assert rate < 0.01, f"divergence {rate:.3f}"
 
 
 def test_fused_device_association_end_to_end(rng):

@@ -88,3 +88,61 @@ def test_scan_midclip_spawn_confirms_second_hit():
     ids = np.asarray(ids)
     assert ids[3, 0] == 0  # unconfirmed on first hit (ByteTrack semantics)
     assert ids[4, 0] > 0 and ids[5, 0] == ids[4, 0]
+
+
+def test_scan_one_frame_false_positive_removed():
+    """An unconfirmed track that misses its very next frame is removed
+    immediately (host unconfirmed pass, association.py:288-290) — it
+    neither emits an ID nor survives to claim a later detection."""
+    dets = [[(_box(200, 200), 0.9)] for _ in range(2)]  # real track
+    dets.append([(_box(200, 200), 0.9), (_box(800, 500), 0.9)])  # + FP
+    dets.append([(_box(200, 200), 0.9)])  # FP gone
+    # a NEW object appears exactly where the FP was: must get a NEW id
+    dets += [[(_box(200, 200), 0.9), (_box(800, 500), 0.9)]
+             for _ in range(3)]
+    boxes, scores, valid = _pad(dets)
+    ids, _ = associate_clip(boxes, scores, valid)
+    ids = np.asarray(ids)
+    assert ids[2, 1] == 0  # FP unconfirmed on its only frame
+    # the new object's first hit spawns fresh (unconfirmed), second
+    # confirms with an id distinct from any the FP could have held
+    assert ids[4, 1] == 0
+    assert ids[5, 1] > 0 and ids[5, 1] != ids[2, 0]
+    assert ids[6, 1] == ids[5, 1]
+    # the real track is untouched throughout
+    assert all(ids[f, 0] == ids[0, 0] for f in range(7))
+
+
+def test_scan_unconfirmed_gate_is_0p3():
+    """The unconfirmed pass gates at IoU >= 0.3 (host cost 0.7): a
+    second hit overlapping ~0.5 IoU confirms; one overlapping < 0.3
+    does not (the track is removed, the det spawns fresh)."""
+    near = [(_box(500, 300), 0.9)], [(_box(500 + 13, 300), 0.9)]
+    far = [(_box(500, 300), 0.9)], [(_box(500 + 45, 300), 0.9)]
+    for frames, confirms in ((near, True), (far, False)):
+        dets = [[], list(frames[0]), list(frames[1]), list(frames[1])]
+        boxes, scores, valid = _pad(dets)
+        ids, _ = associate_clip(boxes, scores, valid)
+        ids = np.asarray(ids)
+        assert ids[1, 0] == 0  # first hit: unconfirmed
+        if confirms:
+            assert ids[2, 0] > 0
+        else:
+            assert ids[2, 0] == 0  # removed + respawned unconfirmed
+            assert ids[3, 0] > 0  # respawn confirms next frame
+
+
+def test_scan_lost_track_ignores_low_dets():
+    """Stage 2 only keeps TRACKED (matched-last-frame) tracks alive on
+    low dets; a LOST track must not re-match a low det (host
+    association.py:248-250 takes only state=='tracked' leftovers)."""
+    dets = [[(_box(300, 400), 0.9)] for _ in range(3)]
+    dets.append([])  # miss -> lost
+    dets.append([(_box(300, 400), 0.2)])  # low det where the track was
+    dets.append([(_box(300, 400), 0.9)])  # high det re-finds it
+    boxes, scores, valid = _pad(dets)
+    ids, _ = associate_clip(boxes, scores, valid)
+    ids = np.asarray(ids)
+    tid = ids[0, 0]
+    assert ids[4, 0] == 0  # lost track must NOT claim the low det
+    assert ids[5, 0] == tid  # stage 1 re-match on the high det
