@@ -86,7 +86,12 @@ def convert_state_dict(
         else:
             raise ValueError(f"unhandled state_dict leaf {key!r}")
 
-    return {"params": params, "batch_stats": batch_stats}
+    out = {"params": params}
+    if batch_stats:
+        # BN-free nets (InpaintNet) must not grow an empty collection the
+        # model tree doesn't have — _merge_variables rejects unknown keys.
+        out["batch_stats"] = batch_stats
+    return out
 
 
 # ---------------------------------------------------------------- TrackNet

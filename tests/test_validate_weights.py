@@ -98,12 +98,124 @@ def test_validate_weights_stub_golden_roundtrip(clip_and_kps, tmp_path, monkeypa
         assert isinstance(report2[kind], dict), report2[kind]
 
 
+def test_validate_weights_reference_format_checkpoints(
+    clip_and_kps, tmp_path, monkeypatch
+):
+    """Round-3 verdict item 5: the SAME command, but with synthetic
+    checkpoints on disk in the exact reference formats — an
+    ultralytics-style .pt pickling a DetectionModel/PoseModel whole-module
+    (players_tracker.py:303), a {'model': state_dict, 'param_dict'}
+    TrackNet/InpaintNet ckpt (ball_tracker.py:253-274), and a raw resnet50
+    state_dict for court.pt (keypoints_tracker.py:165-166, exercising the
+    'auto' architecture inference). Every converter runs INSIDE the
+    command; pass 2 re-loads and re-converts from disk, so --strict 0px
+    proves discovery -> unpickle -> conversion -> pipeline -> comparators
+    -> verdict end to end."""
+    import torch
+
+    from padel_analytics_tpu.apps import validate_weights as vw
+
+    from test_models import (
+        _build_torch_inpaintnet,
+        _build_torch_resnet50,
+        _build_torch_tracknet,
+    )
+    from test_yolo_convert_twin import build_torch_yolov8n
+
+    video, kps = clip_and_kps
+    weights_dir = tmp_path / "weights"
+    weights_dir.mkdir()
+    cache_dir = tmp_path / "ref_caches"
+    cache_dir.mkdir()
+
+    torch.manual_seed(7)
+    _save_ultralytics_pt(
+        weights_dir / "players.pt", "DetectionModel",
+        build_torch_yolov8n(nc=1, seed=1),
+    )
+    _save_ultralytics_pt(
+        weights_dir / "pose.pt", "PoseModel",
+        build_torch_yolov8n(nc=1, nk=13, seed=2),
+    )
+    torch.save(
+        {"model": _build_torch_tracknet(27, 8).state_dict(),
+         "param_dict": {"seq_len": 8, "bg_mode": "concat"}},
+        weights_dir / "tracknet.pt",
+    )
+    torch.save(
+        {"model": _build_torch_inpaintnet().state_dict(),
+         "param_dict": {"seq_len": 16}},
+        weights_dir / "inpaintnet.pt",
+    )
+    torch.save(
+        _build_torch_resnet50(24).state_dict(), weights_dir / "court.pt"
+    )
+
+    monkeypatch.setattr(vw, "build_and_run", _shrunken(vw.build_and_run))
+    ns = [
+        "--weights-dir", str(weights_dir),
+        "--cache-dir", str(cache_dir),
+        "--video", video,
+        "--keypoints", kps,
+        "--variant", "n",
+    ]
+
+    # pass 1: produce the 'reference' caches with the on-disk weights
+    pass1 = tmp_path / "pass1"
+    pass1.mkdir()
+    args1 = _ArgsNS(video, kps, None, "n")
+    weights = {
+        k: str(weights_dir / name) for k, name in vw.WEIGHT_NAMES.items()
+    }
+    ours = _shrunken(vw.build_and_run)(args1, weights, pass1)
+    for kind, ref_name in vw.REF_CACHE_NAMES.items():
+        shutil.copy(ours[kind], cache_dir / ref_name)
+
+    # pass 2: fresh unpickle + conversion + run, strict comparison
+    rc = vw.main(ns + ["--strict", "--out", str(tmp_path / "r.json")])
+    assert rc == 0
+    report = json.loads((tmp_path / "r.json").read_text())
+    assert report["within_1px_verdict"] is True, report
+    assert report["max_px_overall"] == 0.0
+    assert all(report["weights"].values()), report["weights"]
+    for kind in vw.REF_CACHE_NAMES:
+        assert isinstance(report[kind], dict), report[kind]
+
+
+def _save_ultralytics_pt(path, cls_name, torch_model):
+    """torch.save a fake whole-module ultralytics checkpoint: the class
+    claims __module__='ultralytics.nn.tasks', so weights_only=True fails
+    and load_torch_checkpoint's stubbed-unpickle fallback must run —
+    exactly what a real ultralytics .pt exercises."""
+    import sys
+    import types
+
+    import torch
+    from torch import nn as tnn
+
+    created = []
+    for name in ("ultralytics", "ultralytics.nn", "ultralytics.nn.tasks"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    cls = type(cls_name, (tnn.Module,), {"__module__": "ultralytics.nn.tasks"})
+    setattr(sys.modules["ultralytics.nn.tasks"], cls_name, cls)
+    try:
+        wrapper = cls()
+        wrapper.model = torch_model.model  # state_dict keys 'model.{i}...'
+        torch.save({"model": wrapper, "train_args": {}}, path)
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
+
+
 class _ArgsNS:
     def __init__(self, video, keypoints, max_frames, variant):
         self.video = video
         self.keypoints = keypoints
         self.max_frames = max_frames
         self.variant = variant
+        self.court_model_type = "auto"
 
 
 def _shrunken(orig):
