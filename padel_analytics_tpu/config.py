@@ -128,6 +128,10 @@ class BallTrackerConfig:
     eval_mode: str = "weight"  # temporal ensemble weighting (ball_tracker.py:227)
     # Pallas fast path for stride-1 3x3 conv blocks (ops/pallas_conv)
     use_pallas: bool = False
+    # Exact low-resolution phase-conv rewrite of the up blocks' first
+    # convs (models/tracknet._SubpixelUpConvBN): same checkpoints, same
+    # outputs up to summation order, fewer MACs. Inference only.
+    subpixel_up: bool = False
     load_path: Optional[str] = None
     save_path: Optional[str] = None
 

@@ -124,6 +124,7 @@ class BallTracker(Tracker):
             self.EVAL_MODE = config.eval_mode
             self.TRAJECTORY_LENGTH = config.seq_len
             self.use_pallas = config.use_pallas
+            self.subpixel_up = config.subpixel_up
 
         self.DELTA_T = 1 / math.sqrt(self.HEIGHT**2 + self.WIDTH**2)
         self.COOR_TH = self.DELTA_T * 50
@@ -166,6 +167,7 @@ class BallTracker(Tracker):
         model, in_dim = make_tracknet(
             self.tracknet_seq_len, self.bg_mode, dtype=compute_dtype,
             use_pallas=getattr(self, "use_pallas", False),
+            subpixel_up=getattr(self, "subpixel_up", False),
         )
         self.tracknet_in_dim = in_dim
         example = jnp.zeros((1, self.HEIGHT, self.WIDTH, in_dim), jnp.float32)
