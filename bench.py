@@ -80,7 +80,7 @@ def court_keypoints(w: int, h: int):
 
 def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
                  staged=0, pallas=False, ingest="i420", wire=960,
-                 pose_size=None):
+                 pose_size=None, subpixel=False):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import (
@@ -102,10 +102,11 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
         pose_size = 64 if smoke else 1280
     ball_cfg = (
         BallTrackerConfig(height=72, width=128, batch_size=8,
-                          median_max_sample_num=16, use_pallas=pallas)
+                          median_max_sample_num=16, use_pallas=pallas,
+                          subpixel_up=subpixel)
         if smoke
         else BallTrackerConfig(batch_size=8, median_max_sample_num=64,
-                               use_pallas=pallas)
+                               use_pallas=pallas, subpixel_up=subpixel)
     )
     players = PlayerTracker(
         None,
@@ -325,6 +326,12 @@ def main() -> int:
         help="run the models with the Pallas fused conv kernels "
         "(ops/pallas_conv) instead of XLA's conv emitter",
     )
+    parser.add_argument(
+        "--subpixel", action="store_true",
+        help="TrackNet subpixel up-conv rewrite (exact, 1.19x fewer "
+        "MACs — models/tracknet.py); part of the fast path once the "
+        "on-chip A/B (tools/fast_probe.py) confirms the win",
+    )
     # On by default so the official artifact carries the measured-scaling
     # section (the driver invokes plain `python bench.py`); the CPU
     # subprocess is independent of the chip.
@@ -388,7 +395,7 @@ def _bench_body(args, record: dict, time_left) -> None:
     runner = build_runner(video, out, kp, polygon, (w, h), args.smoke,
                           args.chunk, args.staged, pallas=args.pallas,
                           ingest=args.ingest, wire=args.wire_long_side,
-                          pose_size=pose_size)
+                          pose_size=pose_size, subpixel=args.subpixel)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):
@@ -435,6 +442,7 @@ def _bench_body(args, record: dict, time_left) -> None:
         "ingest": args.ingest,
         "wire_long_side": args.wire_long_side if args.ingest == "derived"
         else None,
+        "subpixel_up": args.subpixel,
     }
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded
