@@ -80,7 +80,7 @@ def court_keypoints(w: int, h: int):
 
 def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
                  staged=0, pallas=False, ingest="i420", wire=960,
-                 pose_size=None, subpixel=False):
+                 pose_size=None, subpixel=False, ball_stride=1):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import (
@@ -103,10 +103,11 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
     ball_cfg = (
         BallTrackerConfig(height=72, width=128, batch_size=8,
                           median_max_sample_num=16, use_pallas=pallas,
-                          subpixel_up=subpixel)
+                          subpixel_up=subpixel, window_stride=ball_stride)
         if smoke
         else BallTrackerConfig(batch_size=8, median_max_sample_num=64,
-                               use_pallas=pallas, subpixel_up=subpixel)
+                               use_pallas=pallas, subpixel_up=subpixel,
+                               window_stride=ball_stride)
     )
     players = PlayerTracker(
         None,
@@ -161,6 +162,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
         fused_staged=staged,
         fused_ingest=ingest,
         fused_wire_long_side=wire,
+        fused_ball_stride=ball_stride,
     )
 
 
@@ -327,6 +329,12 @@ def main() -> int:
         "(ops/pallas_conv) instead of XLA's conv emitter",
     )
     parser.add_argument(
+        "--ball-stride", type=int, default=1, choices=(1, 8),
+        help="8 = nonoverlap ball fast mode (one TrackNet window per 8 "
+        "frames, no temporal ensemble — opt-in speed/quality trade; "
+        "1 = reference stride-1 ensemble)",
+    )
+    parser.add_argument(
         "--subpixel", action="store_true",
         help="TrackNet subpixel up-conv rewrite (exact, 1.19x fewer "
         "MACs — models/tracknet.py); part of the fast path once the "
@@ -395,7 +403,8 @@ def _bench_body(args, record: dict, time_left) -> None:
     runner = build_runner(video, out, kp, polygon, (w, h), args.smoke,
                           args.chunk, args.staged, pallas=args.pallas,
                           ingest=args.ingest, wire=args.wire_long_side,
-                          pose_size=pose_size, subpixel=args.subpixel)
+                          pose_size=pose_size, subpixel=args.subpixel,
+                          ball_stride=args.ball_stride)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):
@@ -443,6 +452,7 @@ def _bench_body(args, record: dict, time_left) -> None:
         "wire_long_side": args.wire_long_side if args.ingest == "derived"
         else None,
         "subpixel_up": args.subpixel,
+        "ball_stride": args.ball_stride,
     }
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded

@@ -132,6 +132,12 @@ class BallTrackerConfig:
     # convs (models/tracknet._SubpixelUpConvBN): same checkpoints, same
     # outputs up to summation order, fewer MACs. Inference only.
     subpixel_up: bool = False
+    # 1 = reference stride-1 rolling ensemble (parity,
+    # ball_tracker.py:70-97); seq_len = nonoverlap fast mode (each
+    # window evaluated once, ~seq_len x less TrackNet work; no temporal
+    # ensemble — an opt-in speed/quality trade with no reference
+    # equivalent).
+    window_stride: int = 1
     load_path: Optional[str] = None
     save_path: Optional[str] = None
 

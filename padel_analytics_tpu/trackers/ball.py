@@ -125,6 +125,12 @@ class BallTracker(Tracker):
             self.TRAJECTORY_LENGTH = config.seq_len
             self.use_pallas = config.use_pallas
             self.subpixel_up = config.subpixel_up
+            if config.window_stride not in (1, config.seq_len):
+                raise ValueError(
+                    f"window_stride must be 1 or seq_len={config.seq_len}, "
+                    f"got {config.window_stride}"
+                )
+            self.window_stride = config.window_stride
 
         self.DELTA_T = 1 / math.sqrt(self.HEIGHT**2 + self.WIDTH**2)
         self.COOR_TH = self.DELTA_T * 50
@@ -435,7 +441,116 @@ class BallTracker(Tracker):
             row[:] = get_ensemble_weight(seq_len, self.EVAL_MODE)
         return row
 
+    def _build_window_step_nonoverlap(self, batch: int):
+        """Nonoverlap fast mode (window_stride=seq_len): the chunk's
+        `batch` frames form batch/seq_len disjoint windows, each run once;
+        window i's output channel j IS frame i*seq_len+j's heatmap. No
+        temporal ensemble, no cross-chunk carry. The reference only ships
+        the stride-1 ensemble (ball_tracker.py:70-97) — this is an opt-in
+        ~seq_len-x cost cut, mirrored by FusedPipeline(ball_stride=...)."""
+        seq_len = self.tracknet_seq_len
+        model = self.tracknet.model
+        bg_mode = self.bg_mode
+
+        def step(variables, frames_u8, median_u8):
+            b = frames_u8.shape[0]
+            nwin = b // seq_len
+            fr = frames_u8.astype(jnp.float32).reshape(
+                (nwin, seq_len) + frames_u8.shape[1:]
+            )
+            parts = [fr[:, j] for j in range(seq_len)]
+            if bg_mode == "concat":
+                med = jnp.broadcast_to(
+                    median_u8[None].astype(jnp.float32),
+                    (nwin,) + median_u8.shape,
+                )
+                parts = [med] + parts
+            x = jnp.concatenate(parts, axis=-1) / 255.0
+            y = model.apply(variables, x)  # (nwin, H, W, L)
+            heat = (
+                jnp.transpose(y, (0, 3, 1, 2))
+                .astype(jnp.float32)
+                .reshape((b,) + y.shape[1:3])
+            )
+            return decode_heatmaps(heat)
+
+        return step
+
+    def _window_loop_nonoverlap(self, resized_iter, known_len: Optional[int]):
+        """Chunked nonoverlap TrackNet + decode (window_stride=seq_len).
+        Emits frames [lo, lo+chunk) per chunk directly — no L-1 lag, no
+        coefficient table; the final partial window sees zero-padded
+        context (documented fast-mode tradeoff)."""
+        seq_len = self.tracknet_seq_len
+        chunk = max(self.batch_size, 1)
+        if chunk % seq_len:
+            chunk = -(-chunk // seq_len) * seq_len
+
+        video_len = known_len
+        n_read = 0
+
+        def pull():
+            nonlocal video_len, n_read
+            try:
+                f = next(resized_iter)
+                n_read += 1
+                return f
+            except StopIteration:
+                if video_len is None:
+                    video_len = n_read
+                return None
+
+        first = pull()
+        if first is None:
+            return [], [], [], 0
+        pending: list[np.ndarray] = [first]
+
+        step = self.tracknet.jit_step(
+            ("window_nonoverlap", chunk, self.bg_mode),
+            lambda: self._build_window_step_nonoverlap(chunk),
+        )
+        median_dev = jnp.asarray(self._median_resized)
+        zero_frame = np.zeros_like(first)
+
+        xs: list[int] = []
+        ys: list[int] = []
+        vs: list[int] = []
+        lo = 0
+        while True:
+            while len(pending) < chunk and video_len is None:
+                nxt = pull()
+                if nxt is None:
+                    break
+                pending.append(nxt)
+            if not pending and video_len is not None:
+                break
+            frames = pending[:chunk]
+            pending = pending[chunk:]
+            while len(frames) < chunk:
+                frames.append(zero_frame)
+            cx, cy, vis = step(
+                self.tracknet.variables, jnp.asarray(np.stack(frames)),
+                median_dev,
+            )
+            cx, cy, vis = np.asarray(cx), np.asarray(cy), np.asarray(vis)
+            for j in range(chunk):
+                f = lo + j
+                if video_len is None or f < video_len:
+                    xs.append(int(cx[j]))
+                    ys.append(int(cy[j]))
+                    vs.append(int(vis[j]))
+            lo += chunk
+            if video_len is not None and lo >= video_len:
+                break
+        if video_len is None:
+            video_len = n_read
+        xs, ys, vs = xs[:video_len], ys[:video_len], vs[:video_len]
+        assert len(xs) == video_len, (len(xs), video_len)
+        return xs, ys, vs, video_len
+
     def _window_loop(self, resized_iter, known_len: Optional[int]):
+        if getattr(self, "window_stride", 1) != 1:
+            return self._window_loop_nonoverlap(resized_iter, known_len)
         """Chunked TrackNet + ensemble + decode over an iterator of
         resized frames.
 

@@ -321,11 +321,23 @@ class FusedPipeline:
         ingest: str = "rgb",
         association: str = "auto",
         wire_long_side: int = 960,
+        ball_stride: int = 1,
     ):
         if ingest not in ("rgb", "i420", "derived"):
             raise ValueError(f"unknown ingest {ingest!r}")
         if association not in ("host", "device", "auto"):
             raise ValueError(f"unknown association {association!r}")
+        seq_len_ = ball.tracknet_seq_len
+        if ball_stride not in (1, seq_len_):
+            raise ValueError(
+                f"ball_stride must be 1 (reference stride-1 ensemble) or "
+                f"seq_len={seq_len_} (nonoverlap fast mode), got {ball_stride}"
+            )
+        if ball_stride != 1 and chunk % seq_len_ != 0:
+            raise ValueError(
+                f"nonoverlap ball_stride needs chunk % seq_len == 0 "
+                f"(chunk={chunk}, seq_len={seq_len_})"
+            )
         self.players = players
         self.pose = pose
         self.ball = ball
@@ -375,7 +387,24 @@ class FusedPipeline:
         # work), device in run_mesh (where the sequential host loop is
         # the one per-frame host cost the mesh can't hide).
         self.association = association
+        # ball_stride=seq_len: each frame window is evaluated ONCE
+        # (stride = seq_len, no overlap, no temporal ensemble) — ~seq_len
+        # x less TrackNet work per clip. The reference only ships the
+        # stride-1 'average'/'weight' ensemble (ball_tracker.py:70-97),
+        # so this is an opt-in fast mode, not a parity mode: per-frame
+        # heatmaps lose the seq_len-vote ensemble, and the final partial
+        # window sees zero-padded context. run_mesh always uses the
+        # stride-1 sharded pass (its whole-clip window inference is one
+        # dispatch either way).
+        self.ball_stride = ball_stride
         self._step_cache = {}
+
+    @property
+    def _ball_off(self) -> int:
+        """Frames of clip zero-extension / ball-emit lag: seq_len-1 under
+        the stride-1 rolling ensemble, 0 in nonoverlap mode (chunk k's
+        ball rows are its own frames)."""
+        return 0 if self.ball_stride != 1 else self.ball.tracknet_seq_len - 1
 
     def _assoc_device(self, mesh: bool) -> bool:
         """Whether this path assigns track IDs with the on-device scan."""
@@ -595,6 +624,43 @@ class FusedPipeline:
         tracknet = self.ball.tracknet.model
         decode = self._ingest_decode(src_hw)
 
+        if self.ball_stride != 1:
+            # Nonoverlap fast mode: the chunk's b frames form b/seq_len
+            # disjoint windows, one TrackNet forward each; window i's
+            # output channel j IS frame i*seq_len+j's heatmap (no
+            # ensemble, no cross-chunk carry). Same signature as the
+            # stride-1 step so the chunk loop / staged scan are oblivious
+            # (carries pass through, coef_table/lo are dead arguments).
+            def ball_step_nonoverlap(
+                tn_vars, frames_raw, median_u8, median_src, frame_carry,
+                heat_carry, coef_table, lo, swap_flags,
+            ):
+                resized = pre(
+                    decode(frames_raw), median_src=median_src,
+                    swap=swap_flags,
+                )  # (b, H, W, C_f) uint8-valued float32
+                nwin = b // seq_len
+                fr = resized.reshape((nwin, seq_len) + resized.shape[1:])
+                parts = [fr[:, j] for j in range(seq_len)]
+                if bg_mode == "concat":
+                    med = jnp.broadcast_to(
+                        median_u8[None].astype(jnp.float32),
+                        (nwin,) + median_u8.shape,
+                    )
+                    parts = [med] + parts
+                x_ball = jnp.concatenate(parts, axis=-1) / 255.0
+                y = tracknet.apply(tn_vars, x_ball)  # (nwin, H, W, L)
+                heat = (
+                    jnp.transpose(y, (0, 3, 1, 2))
+                    .astype(jnp.float32)
+                    .reshape((b,) + y.shape[1:3])
+                )  # (b, H, W) in frame order
+                cx, cy, vis = decode_heatmaps(heat)
+                packed = jnp.stack([cx, cy, vis], axis=-1)
+                return packed, frame_carry, heat_carry
+
+            return ball_step_nonoverlap
+
         def ball_step(
             tn_vars, frames_raw, median_u8, median_src, frame_carry,
             heat_carry, coef_table, lo, swap_flags,
@@ -750,7 +816,7 @@ class FusedPipeline:
         )
 
         key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest,
-               self.wire_long_side, self.court_mode)
+               self.wire_long_side, self.court_mode, self.ball_stride)
         if key not in self._step_cache:
             det_scan, pose_scan, ball_scan, court_scan = self._build_scan_steps(
                 src_hw, s
@@ -764,7 +830,7 @@ class FusedPipeline:
         det_scan, pose_scan, ball_scan, court_scan = self._step_cache[key]
 
         coef = overlap_ensemble_coefficients(n, seq_len, ball.EVAL_MODE)
-        n_ext = n + seq_len - 1
+        n_ext = n + self._ball_off
         round_frames = s * b
         num_rounds = -(-n_ext // round_frames)
         n_ext_pad = num_rounds * round_frames + b
@@ -891,7 +957,7 @@ class FusedPipeline:
         )
         n_real = max(0, min(lo + s * b, n) - lo)
         self._unpack_frames(builder, dp, pp, cp, n_real, det_ids=ids)
-        emit_lo = lo - (seq_len - 1)
+        emit_lo = lo - self._ball_off
         for j in range(s * b):
             f = emit_lo + j
             if 0 <= f < n:
@@ -904,7 +970,7 @@ class FusedPipeline:
         """Jitted (det, pose, ball, court-or-None) sub-steps, cached per
         (resolution, chunk, bg_mode, ingest, court_mode)."""
         key = (src_hw, self.chunk, self.ball.bg_mode, self.ingest,
-               self.wire_long_side, self.court_mode)
+               self.wire_long_side, self.court_mode, self.ball_stride)
         if key not in self._step_cache:
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw)),
@@ -974,7 +1040,7 @@ class FusedPipeline:
         # windows touching the zero padding get coefficient 0 from the
         # table, so the padding never contaminates real outputs.
         zero_frame = np.zeros_like(fw.first())
-        n_ext = n + seq_len - 1
+        n_ext = n + self._ball_off
         num_chunks = -(-n_ext // b)
         builder = _ResultBuilder(self, n, src_hw, stream)
 
@@ -1051,7 +1117,7 @@ class FusedPipeline:
                 next_prep = pool.submit(prepare, k + 1)
             hi = min(lo + b, n_ext)
             n_real_frames = max(0, min(hi, n) - lo)
-            emit_lo = lo - (seq_len - 1)
+            emit_lo = lo - self._ball_off
 
             # ONE upload, three async sub-steps sharing it; each returns a
             # single packed buffer (fewest device round-trips per chunk).

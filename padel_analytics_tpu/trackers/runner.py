@@ -179,6 +179,10 @@ class TrackingRunner:
         # 'auto': host ByteTrack single-device (exact supervision
         # parity), on-device ID scan under a mesh; 'host'/'device' force.
         fused_association: str = "auto",
+        # 1 = reference stride-1 rolling ensemble (parity); seq_len =
+        # nonoverlap fast mode (each window evaluated once, ~8x less
+        # TrackNet work; no reference equivalent — FusedPipeline docs).
+        fused_ball_stride: int = 1,
         # Draw concurrently with inference. A win when host cores are
         # plentiful; on single-core hosts the drawer contends with the
         # upload path's own CPU cost (serialization/compression) and SLOWS
@@ -195,6 +199,7 @@ class TrackingRunner:
         self.fused_ingest = fused_ingest
         self.fused_wire_long_side = fused_wire_long_side
         self.fused_association = fused_association
+        self.fused_ball_stride = fused_ball_stride
         self.fused_stream_draw = fused_stream_draw
         self.mesh = mesh
         self.video_path = video_path
@@ -294,6 +299,7 @@ class TrackingRunner:
                 ingest=self.fused_ingest,
                 association=self.fused_association,
                 wire_long_side=self.fused_wire_long_side,
+                ball_stride=self.fused_ball_stride,
             )
 
         # Streaming draw: render/collect concurrently with inference (host
