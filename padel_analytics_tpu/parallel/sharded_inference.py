@@ -40,14 +40,27 @@ def sharded_window_inference(
     seq_len: int = 8,
     eval_mode: str = "weight",
     bg_mode: str = "concat",
+    stride: int = 1,
 ):
     """Run the full TrackNet window/ensemble/decode pipeline with the frame
     axis sharded over mesh axis 'data'. Returns host (cx, cy, vis) int32
-    arrays of length N (identical to the single-device path)."""
+    arrays of length N (identical to the single-device path).
+
+    stride=seq_len selects the nonoverlap fast mode (one forward per
+    disjoint window, no temporal ensemble — FusedPipeline ball_stride
+    docs); windows never cross shard edges there, so BOTH halos (and all
+    collectives) disappear: pure local compute over the sharded frame
+    axis."""
     n_frames = frames.shape[0]
     d = mesh.shape["data"]
     if n_frames < seq_len:
         raise ValueError("clip shorter than seq_len")
+    if stride not in (1, seq_len):
+        raise ValueError(f"stride must be 1 or seq_len, got {stride}")
+    if stride == seq_len:
+        return _sharded_nonoverlap_inference(
+            apply_fn, frames, median, mesh, seq_len, bg_mode
+        )
 
     # Pad so every device owns the same number of frames (and windows).
     shard = -(-n_frames // d)
@@ -129,6 +142,67 @@ def sharded_window_inference(
     coef_dev = _global_array(coef_p, NamedSharding(mesh, spec_frames))
     median_dev = _global_array(np.asarray(median), NamedSharding(mesh, P()))
     cx, cy, vis = fn(frames_dev, coef_dev, median_dev)
+    return (
+        _host_array(cx)[:n_frames],
+        _host_array(cy)[:n_frames],
+        _host_array(vis)[:n_frames],
+    )
+
+
+def _sharded_nonoverlap_inference(
+    apply_fn: Callable,
+    frames: np.ndarray,
+    median: np.ndarray,
+    mesh: Mesh,
+    seq_len: int,
+    bg_mode: str,
+):
+    """Nonoverlap (stride = seq_len) sharded window inference: each shard
+    holds whole disjoint windows, so there is no frame halo, no prediction
+    halo, and no ensemble — one local forward per L frames per device."""
+    n_frames = frames.shape[0]
+    d = mesh.shape["data"]
+    l = seq_len
+    # Every device owns an integral number of whole windows.
+    shard = -(-n_frames // (l * d)) * l
+    pad_total = shard * d - n_frames
+    frames_p = np.concatenate(
+        [frames, np.zeros((pad_total,) + frames.shape[1:], frames.dtype)]
+    )
+
+    def shard_fn(frames_local, median_rep):
+        nwin = shard // l
+        fr = frames_local.astype(jnp.float32).reshape(
+            (nwin, l) + frames_local.shape[1:]
+        )
+        parts = [fr[:, j] for j in range(l)]
+        if bg_mode == "concat":
+            med = jnp.broadcast_to(
+                median_rep[None].astype(jnp.float32),
+                (nwin,) + median_rep.shape,
+            )
+            parts = [med] + parts
+        x = jnp.concatenate(parts, axis=-1) / 255.0
+        y = apply_fn(x)  # (nwin, H, W, L)
+        heat = (
+            jnp.transpose(y, (0, 3, 1, 2))
+            .astype(jnp.float32)
+            .reshape((shard,) + y.shape[1:3])
+        )
+        return decode_heatmaps(heat)
+
+    spec_frames = P("data")
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec_frames, P()),
+            out_specs=(P("data"), P("data"), P("data")),
+        )
+    )
+    frames_dev = _global_array(frames_p, NamedSharding(mesh, spec_frames))
+    median_dev = _global_array(np.asarray(median), NamedSharding(mesh, P()))
+    cx, cy, vis = fn(frames_dev, median_dev)
     return (
         _host_array(cx)[:n_frames],
         _host_array(cy)[:n_frames],

@@ -342,6 +342,7 @@ class BallTracker(Tracker):
                 seq_len=seq_len,
                 eval_mode=self.EVAL_MODE,
                 bg_mode=self.bg_mode,
+                stride=getattr(self, "window_stride", 1),
             )
             pred = {
                 "frame": list(range(video_len)),

@@ -393,9 +393,9 @@ class FusedPipeline:
         # stride-1 'average'/'weight' ensemble (ball_tracker.py:70-97),
         # so this is an opt-in fast mode, not a parity mode: per-frame
         # heatmaps lose the seq_len-vote ensemble, and the final partial
-        # window sees zero-padded context. run_mesh always uses the
-        # stride-1 sharded pass (its whole-clip window inference is one
-        # dispatch either way).
+        # window sees zero-padded context. Under run_mesh the nonoverlap
+        # sharded pass needs NO halo exchange at all (windows never cross
+        # shard edges — parallel/sharded_inference.py).
         self.ball_stride = ball_stride
         self._step_cache = {}
 
@@ -1458,6 +1458,7 @@ class FusedPipeline:
             seq_len=seq_len,
             eval_mode=ball.EVAL_MODE,
             bg_mode=ball.bg_mode,
+            stride=self.ball_stride,
         )
         for i in range(n):
             builder.add_ball(int(cx[i]), int(cy[i]), int(vis[i]))

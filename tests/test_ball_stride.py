@@ -99,6 +99,30 @@ def test_window_stride_config_validation(rng):
         BallTracker(None, None, config=BallTrackerConfig(window_stride=3))
 
 
+def test_run_mesh_nonoverlap_bit_equal_single_device(rng):
+    # The nonoverlap sharded pass (no halo exchange at all) must decode
+    # the same ball coordinates as the single-device nonoverlap chunk
+    # loop — same real f32 models as the stride-1 mesh bit-equality test.
+    from test_fused_mesh import N as MN, SEQ, _build, _clip
+    from padel_analytics_tpu.parallel.mesh import make_mesh
+
+    frames = _clip(rng)
+    mesh = make_mesh(data=8, model=1)
+
+    single = _build("rgb", chunk=4)
+    single.ball_stride = SEQ  # rebind after build; chunk=4 == SEQ
+    out_single = single.run(iter(list(frames)), MN)
+
+    sharded = _build("rgb", chunk=4)
+    sharded.ball_stride = SEQ
+    out_sharded = sharded.run_mesh(iter(list(frames)), MN, mesh)
+
+    assert len(out_sharded["ball"]) == MN
+    for f in range(MN):
+        b1, b2 = out_single["ball"][f], out_sharded["ball"][f]
+        assert b1.xy == b2.xy and b1.visibility == b2.visibility, f
+
+
 def test_stride_validation(rng):
     players, pose, ball, court = _make_trackers()
     with pytest.raises(ValueError, match="ball_stride"):
