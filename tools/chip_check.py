@@ -127,6 +127,26 @@ def main() -> int:
         ok &= (int(cx[i]), int(cy[i]), int(vis[i])) == (rx, ry, rv)
     check("heatmap_decode", ok)
 
+    # ---- TrackNet subpixel up-conv rewrite (models/tracknet.py) ----
+    # Exact algebraic identity in f32: on this platform's conv emitter
+    # the two paths must agree to summation-order noise, or the
+    # subpixel_up flag must stay off here.
+    import jax as _jax
+
+    from padel_analytics_tpu.models.tracknet import TrackNet, make_tracknet
+
+    base, in_dim = make_tracknet(8, "concat", dtype=jnp.float32)
+    x8 = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (1, 48, 64, in_dim)),
+        jnp.float32,
+    )
+    variables = base.init(_jax.random.PRNGKey(0), x8)
+    want = np.asarray(base.apply(variables, x8))
+    sub = TrackNet(out_dim=8, dtype=jnp.float32, subpixel_up=True)
+    got = np.asarray(sub.apply(variables, x8))
+    sdiff = float(np.abs(got - want).max())
+    check("tracknet_subpixel_up_f32", sdiff < 2e-5, f"maxdiff={sdiff:.2e}")
+
     print("ALL PASS" if not FAILED else f"FAILURES: {FAILED}")
     return 0 if not FAILED else 1
 
