@@ -28,6 +28,21 @@ def test_tracknet_training_converges():
     )
 
 
+def test_nonoverlap_quality_bounded_on_trained_model():
+    """The ~8x-cheaper nonoverlap ball mode (window_stride=seq_len) is a
+    BOUNDED quality trade on a trained TrackNet, measured through the
+    real BallTracker end to end: same detect/within-4px rates as the
+    stride-1 ensemble on the synthetic rally, sub-pixel mean-error cost
+    (0.31 -> 0.52 px at 60 steps — tools/stride_quality_demo.py)."""
+    from tools.stride_quality_demo import run_demo
+
+    out = run_demo(steps=60, n=96, verbose=False, force_cpu=False)
+    r1, r8 = out["stride1"], out["nonoverlap"]
+    assert r1["within_4px"] >= 0.9, out
+    assert r8["within_4px"] >= 0.9, out
+    assert r8["mean_px"] <= r1["mean_px"] + 2.0, out
+
+
 def test_inpaintnet_training_converges():
     """InpaintNet learns gap-filling on HELD-OUT trajectories: masked-
     position pixel error drops >3x from the untrained ~290px (see the
