@@ -11,8 +11,6 @@ window misalignment in the fast mode breaks this equality.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.smoke
-
 from padel_analytics_tpu.trackers.fused import FusedPipeline
 
 from test_fused import N, _make_frames, _make_trackers
@@ -29,6 +27,7 @@ def _run(rng, ball_stride, staged=0, chunk=8):
     return fused.run(iter(frames), total_frames=N)
 
 
+@pytest.mark.smoke
 def test_nonoverlap_matches_stride1_with_decisive_model(rng):
     base = _run(rng, ball_stride=1)
     fast = _run(rng, ball_stride=8)
