@@ -514,43 +514,6 @@ def _bench_body(args, record: dict, time_left) -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench: device split skipped: {e!r}", file=sys.stderr)
 
-    # Reference-default heavy config (i420 @ full resolution, pose@1280 —
-    # the reference's own config.py:30): measured alongside the fast-path
-    # headline so every artifact carries both. pose@1280's first compile
-    # is the expensive one (200-450s seen on the tunnel), hence the wide
-    # time gate.
-    parity_cfg = None
-    already_parity = args.ingest == "i420" and pose_size == 1280
-    if (not args.no_parity_config and not args.smoke
-            and not already_parity and time_left() > 900):
-        try:
-            with contextlib.redirect_stdout(sys.stderr):
-                p_runner = build_runner(
-                    video, str(Path(tmp) / "parity_out.mp4"), kp, polygon,
-                    (w, h), False, args.chunk, args.staged,
-                    pallas=args.pallas, ingest="i420", pose_size=1280,
-                )
-                print("bench: parity-config warmup (pose@1280 compiles)...")
-                p_runner.run()
-                for tracker in p_runner.trackers.values():
-                    tracker.save_path = None
-                p_runner.restart()
-                t0 = time.perf_counter()
-                p_runner.run()
-                p_elapsed = time.perf_counter() - t0
-            parity_cfg = {
-                "e2e_fps": round(n / p_elapsed, 2),
-                "ingest": "i420",
-                "pose_image_size": 1280,
-            }
-            print(f"bench: parity config {parity_cfg}", file=sys.stderr)
-            del p_runner
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: parity-config section skipped: {e!r}",
-                  file=sys.stderr)
-    if parity_cfg is not None:
-        record["parity_config"] = parity_cfg
-
     # Model-based court modes (round-2 verdict item 5): the reference
     # also ships yolo/resnet court keypoints (keypoints_tracker.py:199-312);
     # time their fused court sub-step and a fused e2e pass with the court
@@ -596,6 +559,44 @@ def _bench_body(args, record: dict, time_left) -> None:
                 )
         except (subprocess.TimeoutExpired, OSError) as e:
             print(f"bench: mesh bench skipped: {e!r}", file=sys.stderr)
+
+    # Reference-default heavy config (i420 @ full resolution, pose@1280 —
+    # the reference's own config.py:30): measured alongside the fast-path
+    # headline so every artifact carries both. pose@1280's first compile
+    # is the expensive one (200-450s seen on the tunnel), hence the wide
+    # time gate.
+    parity_cfg = None
+    already_parity = args.ingest == "i420" and pose_size == 1280
+    if (not args.no_parity_config and not args.smoke
+            and not already_parity and time_left() > 900):
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                p_runner = build_runner(
+                    video, str(Path(tmp) / "parity_out.mp4"), kp, polygon,
+                    (w, h), False, args.chunk, args.staged,
+                    pallas=args.pallas, ingest="i420", pose_size=1280,
+                )
+                print("bench: parity-config warmup (pose@1280 compiles)...")
+                p_runner.run()
+                for tracker in p_runner.trackers.values():
+                    tracker.save_path = None
+                p_runner.restart()
+                t0 = time.perf_counter()
+                p_runner.run()
+                p_elapsed = time.perf_counter() - t0
+            parity_cfg = {
+                "e2e_fps": round(n / p_elapsed, 2),
+                "ingest": "i420",
+                "pose_image_size": 1280,
+            }
+            print(f"bench: parity config {parity_cfg}", file=sys.stderr)
+            del p_runner
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: parity-config section skipped: {e!r}",
+                  file=sys.stderr)
+    if parity_cfg is not None:
+        record["parity_config"] = parity_cfg
+
 
     if per_tracker is not None:
         record["per_tracker_fps_batch8"] = per_tracker
