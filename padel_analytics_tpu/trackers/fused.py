@@ -855,8 +855,11 @@ class FusedPipeline:
             from ..ops.association_scan import init_state
 
             assoc_state = init_state()
-        pending = None
-        for r in range(num_rounds):
+        def prepare(r: int):
+            """Host side of round r: decode fill, convert, pack. Runs in
+            the depth-1 prefetch worker (cv2/numpy release the GIL) so the
+            NEXT round's pack hides under this round's blocking upload —
+            same structure as run()'s chunk prefetch."""
             lo, hi = r * round_frames, (r + 1) * round_frames
             avail = fw.fill_to(min(hi, n))
             chunk_frames = [
@@ -869,6 +872,17 @@ class FusedPipeline:
             upto = min(hi, n) - lo
             if upto > 0:
                 swap_all[:upto] = quirk_flags[lo : lo + upto]
+            return lo, arr, swap_all
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        next_prep = pool.submit(prepare, 0)
+        pending = None
+        for r in range(num_rounds):
+            lo, arr, swap_all = next_prep.result()
+            if r + 1 < num_rounds:
+                next_prep = pool.submit(prepare, r + 1)
 
             frames_dev = jnp.asarray(arr)
             det_packed = det_scan(self.players.engine.variables, frames_dev)
@@ -908,6 +922,7 @@ class FusedPipeline:
                 self._drain_round(pending, builder, n, b, seq_len)
             pending = (lo, det_packed, pose_packed, ball_packed, court_packed,
                        det_ids)
+        pool.shutdown(wait=False)
         if pending is not None:
             self._drain_round(pending, builder, n, b, seq_len)
 
