@@ -334,11 +334,13 @@ def main() -> int:
         "frames, no temporal ensemble — opt-in speed/quality trade; "
         "1 = reference stride-1 ensemble)",
     )
+    # Default ON since the on-chip A/B confirmed the win (tools/
+    # fast_probe.py, v5e: 2.142 -> 1.985 ms/img, 1.08x; max|logit diff|
+    # 5e-4). The parity-config section always runs subpixel OFF.
     parser.add_argument(
-        "--subpixel", action="store_true",
+        "--subpixel", action=argparse.BooleanOptionalAction, default=True,
         help="TrackNet subpixel up-conv rewrite (exact, 1.19x fewer "
-        "MACs — models/tracknet.py); part of the fast path once the "
-        "on-chip A/B (tools/fast_probe.py) confirms the win",
+        "MACs — models/tracknet.py); on-chip A/B-confirmed 1.08x",
     )
     # On by default so the official artifact carries the measured-scaling
     # section (the driver invokes plain `python bench.py`); the CPU
