@@ -343,6 +343,32 @@ class ProjectedCourt:
 
     # --- per-frame draw + collect (projected_court.py:541-668) --------------
 
+    def collect_data_single_frame(
+        self,
+        keypoints_detection: Optional[Keypoints],
+        players_detection: Optional[Players],
+        data_analytics: Optional[DataAnalytics],
+        is_fixed_keypoints: bool = False,
+    ) -> Optional[DataAnalytics]:
+        """The data-collection half of draw_projections_and_collect_data
+        without any rendering: homography + player projections feed
+        DataAnalytics exactly as the draw path does (same gates, same
+        shift_point_origin), so render=False runs produce an identical
+        data.csv while skipping every cv2 call. No reference equivalent —
+        the reference always renders (runner.py:114-162)."""
+        self._homography_for(keypoints_detection, is_fixed_keypoints)
+        if self.H is not None and players_detection and data_analytics is not None:
+            for player in players_detection:
+                projected = self.project_player(player, self.H)
+                shifted = self.court_keypoints.shift_point_origin(
+                    point=tuple(float(v) for v in projected.projection),
+                    dimension="meters",
+                )
+                data_analytics.add_player_position(
+                    id=projected.id, position=shifted
+                )
+        return data_analytics
+
     def draw_projections_and_collect_data(
         self,
         frame: np.ndarray,

@@ -56,6 +56,8 @@ def _load_config(args) -> PipelineConfig:
         cfg.collect_data_path = args.data_csv
     if args.no_collect:
         cfg.collect_data = False
+    if args.no_render:
+        cfg.render_video = False
     if args.variant:
         cfg.players.model_variant = args.variant
         cfg.player_keypoints.model_variant = args.variant
@@ -151,6 +153,7 @@ def build_pipeline(cfg: PipelineConfig, interactive: bool = True):
         start=0,
         end=cfg.max_frames,
         collect_data=cfg.collect_data,
+        render=cfg.render_video,
     )
     return runner
 
@@ -167,6 +170,11 @@ def main(argv=None) -> int:
     parser.add_argument("--data-csv", help="analytics CSV output path")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-collect", action="store_true")
+    parser.add_argument(
+        "--no-render", action="store_true",
+        help="analytics-only: skip the overlay render + video encode "
+        "(data.csv still written; ~14 ms/frame of host time saved)",
+    )
     parser.add_argument("--variant", help="YOLOv8 variant override (n/s/m/l/x)")
     parser.add_argument(
         "--pallas", action="store_true",

@@ -151,6 +151,9 @@ class PipelineConfig:
     collect_data: bool = True
     collect_data_path: str = "data.csv"
     max_frames: Optional[int] = None
+    # False = analytics-only: skip the overlay render + video encode and
+    # produce only data.csv (extension — the reference always renders).
+    render_video: bool = True
 
     fixed_court_keypoints_load_path: Optional[str] = None
     fixed_court_keypoints_save_path: Optional[str] = None
@@ -180,6 +183,7 @@ class PipelineConfig:
             collect_data=get("COLLECT_DATA", True),
             collect_data_path=get("COLLECT_DATA_PATH", "data.csv"),
             max_frames=get("MAX_FRAMES"),
+            render_video=get("RENDER_VIDEO", True),
             fixed_court_keypoints_load_path=get("FIXED_COURT_KEYPOINTS_LOAD_PATH"),
             fixed_court_keypoints_save_path=get("FIXED_COURT_KEYPOINTS_SAVE_PATH"),
         )

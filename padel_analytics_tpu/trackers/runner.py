@@ -192,6 +192,13 @@ class TrackingRunner:
         # the frame axis across it (FusedPipeline.run_mesh) — the v5e-8
         # deployment path. None = single device.
         mesh=None,
+        # False = analytics-only: skip the overlay render + video encode
+        # entirely (no decode pass, no cv2 drawing, no writer) and collect
+        # the identical DataAnalytics from stored predictions. The draw
+        # pass costs ~14 ms/frame of host time on a 1-core host (BENCH.md)
+        # that data-pipeline consumers don't need. No reference equivalent
+        # (the reference always renders, runner.py:91-172).
+        render: bool = True,
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
@@ -200,7 +207,10 @@ class TrackingRunner:
         self.fused_wire_long_side = fused_wire_long_side
         self.fused_association = fused_association
         self.fused_ball_stride = fused_ball_stride
-        self.fused_stream_draw = fused_stream_draw
+        # Streaming draw renders; with render=False there is nothing for
+        # the drawer to do, so it must stay off or it would encode anyway.
+        self.fused_stream_draw = fused_stream_draw and render
+        self.render = render
         self.mesh = mesh
         self.video_path = video_path
         self.inference_path = inference_path
@@ -426,9 +436,48 @@ class TrackingRunner:
         self.stage_times["draw_and_collect"] = timeit.default_timer() - t0
         print("runner: Done.")
 
+    def collect_data_only(self) -> None:
+        """Analytics collection without rendering: no decode, no cv2, no
+        video writer — iterates stored predictions and feeds DataAnalytics
+        through the same projection path as the draw loop (identical
+        data.csv; tests/test_pipeline.py pins the equality)."""
+        print("runner: Collecting data (render=False; no video output)")
+        t0 = timeit.default_timer()
+        n = self.total_frames
+        for tracker in self.trackers.values():
+            n = min(n, len(tracker.results))
+        for frame_index in range(n):
+            players_detection = None
+            keypoints_detection = None
+            for tracker in self.trackers.values():
+                prediction = tracker.results[frame_index]
+                if tracker.object() == Players:
+                    # project_player writes .projection on the Player;
+                    # copy so stored predictions stay pristine (same
+                    # reason _draw_one deepcopies).
+                    players_detection = deepcopy(prediction)
+                elif tracker.object() == Keypoints:
+                    keypoints_detection = prediction
+            self.data_analytics = self.projected_court.collect_data_single_frame(
+                keypoints_detection=keypoints_detection,
+                players_detection=players_detection,
+                data_analytics=self.data_analytics,
+                is_fixed_keypoints=self.is_fixed_keypoints,
+            )
+            if self.data_analytics is not None:
+                self.data_analytics.step(1)
+        if self.data_analytics is not None:
+            # Same trailing-frame trim as _finish_draw (runner.py:166-167).
+            self.data_analytics.frames = self.data_analytics.frames[:-1]
+        self.stage_times["draw_and_collect"] = timeit.default_timer() - t0
+        print("runner: Done.")
+
     def draw_and_collect_data(self) -> None:
         """Render annotated video + minimap projections; collect analytics
         (parity: runner.py:91-172, including the trailing-frame trim)."""
+        if not self.render:
+            self.collect_data_only()
+            return
         print(f"runner: Writing results into {str(self.inference_path)}")
         t0 = timeit.default_timer()
         writer = VideoWriter(

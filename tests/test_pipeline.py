@@ -364,3 +364,41 @@ def test_ball_tracker_reuse_on_new_clip_matches_fresh_tracker(tmp_path):
     # and results are unchanged.
     reused.restart()
     assert preds(reused, clip(2)) == want_b
+
+
+def test_render_false_matches_rendered_analytics(
+    synthetic_video, court_keypoints, tmp_path
+):
+    """render=False (analytics-only) must produce the exact DataAnalytics
+    of the rendered path — same projections, same step/trim — while
+    writing NO video (collect_data_only, runner.py)."""
+    trackers = _build_trackers(court_keypoints, tmp_path)
+    out1 = tmp_path / "rendered.mp4"
+    rendered = TrackingRunner(
+        trackers=trackers,
+        video_path=synthetic_video,
+        inference_path=str(out1),
+        collect_data=True,
+    )
+    rendered.run()
+    df_rendered = rendered.data_analytics.into_dataframe(FPS)
+    assert out1.exists()
+
+    # Same trackers (results already stored -> inference is skipped);
+    # only the draw/collect pass differs.
+    out2 = tmp_path / "norender.mp4"
+    analytics_only = TrackingRunner(
+        trackers=trackers,
+        video_path=synthetic_video,
+        inference_path=str(out2),
+        collect_data=True,
+        render=False,
+    )
+    analytics_only.run()
+    df_plain = analytics_only.data_analytics.into_dataframe(FPS)
+
+    pd.testing.assert_frame_equal(df_rendered, df_plain)
+    assert not out2.exists()
+    # Stored predictions stayed pristine (collect deepcopies before
+    # project_player writes .projection).
+    assert "draw_and_collect" in analytics_only.stage_times
