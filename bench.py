@@ -80,7 +80,8 @@ def court_keypoints(w: int, h: int):
 
 def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
                  staged=0, pallas=False, ingest="i420", wire=960,
-                 pose_size=None, subpixel=False, ball_stride=1):
+                 pose_size=None, subpixel=False, ball_stride=1,
+                 stream_draw=False):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import (
@@ -163,6 +164,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
         fused_ingest=ingest,
         fused_wire_long_side=wire,
         fused_ball_stride=ball_stride,
+        fused_stream_draw=stream_draw,
     )
 
 
@@ -345,6 +347,18 @@ def main() -> int:
     # On by default so the official artifact carries the measured-scaling
     # section (the driver invokes plain `python bench.py`); the CPU
     # subprocess is independent of the chip.
+    # Streaming draw: render/encode on a drawer thread concurrently with
+    # inference. The tunnel upload is wire-bound (not CPU-bound), so even
+    # on this 1-core host the draw pass can hide under the blocking
+    # uploads. Bit-equal output (tests/test_pipeline.py
+    # test_fused_stream_draw_matches_batch_draw); A/B-able here before
+    # flipping the default.
+    parser.add_argument(
+        "--stream-draw", action=argparse.BooleanOptionalAction,
+        default=False,
+        help="overlap the draw/encode pass with fused inference "
+        "(drawer thread; bit-equal output)",
+    )
     parser.add_argument(
         "--mesh", action=argparse.BooleanOptionalAction, default=True,
         help="measure run_mesh throughput on the virtual 8-device "
@@ -406,7 +420,8 @@ def _bench_body(args, record: dict, time_left) -> None:
                           args.chunk, args.staged, pallas=args.pallas,
                           ingest=args.ingest, wire=args.wire_long_side,
                           pose_size=pose_size, subpixel=args.subpixel,
-                          ball_stride=args.ball_stride)
+                          ball_stride=args.ball_stride,
+                          stream_draw=args.stream_draw)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):
@@ -455,6 +470,7 @@ def _bench_body(args, record: dict, time_left) -> None:
         else None,
         "subpixel_up": args.subpixel,
         "ball_stride": args.ball_stride,
+        "stream_draw": args.stream_draw,
     }
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded
