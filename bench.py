@@ -81,7 +81,7 @@ def court_keypoints(w: int, h: int):
 def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
                  staged=0, pallas=False, ingest="i420", wire=960,
                  pose_size=None, subpixel=False, ball_stride=1,
-                 stream_draw=False):
+                 stream_draw=False, render_scale=1.0):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import (
@@ -165,6 +165,7 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
         fused_wire_long_side=wire,
         fused_ball_stride=ball_stride,
         fused_stream_draw=stream_draw,
+        render_scale=render_scale,
     )
 
 
@@ -360,6 +361,12 @@ def main() -> int:
         "(drawer thread; bit-equal output)",
     )
     parser.add_argument(
+        "--render-scale", type=float, default=1.0,
+        help="encode the annotated output at this fraction of the "
+        "source resolution (1.0 = reference-parity full-res; the mp4v "
+        "encode cost scales with pixel count — runner.render_scale)",
+    )
+    parser.add_argument(
         "--mesh", action=argparse.BooleanOptionalAction, default=True,
         help="measure run_mesh throughput on the virtual 8-device "
         "CPU mesh (subprocess; see tools/mesh_bench.py)",
@@ -421,7 +428,8 @@ def _bench_body(args, record: dict, time_left) -> None:
                           ingest=args.ingest, wire=args.wire_long_side,
                           pose_size=pose_size, subpixel=args.subpixel,
                           ball_stride=args.ball_stride,
-                          stream_draw=args.stream_draw)
+                          stream_draw=args.stream_draw,
+                          render_scale=args.render_scale)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):
@@ -471,6 +479,7 @@ def _bench_body(args, record: dict, time_left) -> None:
         "subpixel_up": args.subpixel,
         "ball_stride": args.ball_stride,
         "stream_draw": args.stream_draw,
+        "render_scale": args.render_scale,
     }
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded

@@ -58,6 +58,8 @@ def _load_config(args) -> PipelineConfig:
         cfg.collect_data = False
     if args.no_render:
         cfg.render_video = False
+    if args.render_scale is not None:
+        cfg.render_scale = args.render_scale
     if args.variant:
         cfg.players.model_variant = args.variant
         cfg.player_keypoints.model_variant = args.variant
@@ -154,6 +156,7 @@ def build_pipeline(cfg: PipelineConfig, interactive: bool = True):
         end=cfg.max_frames,
         collect_data=cfg.collect_data,
         render=cfg.render_video,
+        render_scale=cfg.render_scale,
     )
     return runner
 
@@ -174,6 +177,12 @@ def main(argv=None) -> int:
         "--no-render", action="store_true",
         help="analytics-only: skip the overlay render + video encode "
         "(data.csv still written; ~14 ms/frame of host time saved)",
+    )
+    parser.add_argument(
+        "--render-scale", type=float, default=None,
+        help="encode the annotated output at this fraction of the "
+        "source resolution (overlays drawn + analytics collected at "
+        "full res; 1.0 = reference-parity full-res output)",
     )
     parser.add_argument("--variant", help="YOLOv8 variant override (n/s/m/l/x)")
     parser.add_argument(

@@ -154,6 +154,11 @@ class PipelineConfig:
     # False = analytics-only: skip the overlay render + video encode and
     # produce only data.csv (extension — the reference always renders).
     render_video: bool = True
+    # Encode the annotated output at this fraction of the source
+    # resolution (overlays drawn + analytics collected at full res;
+    # 1.0 = reference-parity full-res output). The encode is the draw
+    # pass's dominant host cost and scales with pixel count (BENCH.md).
+    render_scale: float = 1.0
 
     fixed_court_keypoints_load_path: Optional[str] = None
     fixed_court_keypoints_save_path: Optional[str] = None
@@ -184,6 +189,7 @@ class PipelineConfig:
             collect_data_path=get("COLLECT_DATA_PATH", "data.csv"),
             max_frames=get("MAX_FRAMES"),
             render_video=get("RENDER_VIDEO", True),
+            render_scale=get("RENDER_SCALE", 1.0),
             fixed_court_keypoints_load_path=get("FIXED_COURT_KEYPOINTS_LOAD_PATH"),
             fixed_court_keypoints_save_path=get("FIXED_COURT_KEYPOINTS_SAVE_PATH"),
         )

@@ -806,14 +806,23 @@ class FusedPipeline:
         throughput when per-call dispatch overhead dominates (remote /
         tunneled devices); needs superchunk*chunk*H*W*3 bytes of HBM
         headroom per round."""
+        import time
+
         b = self.chunk
         s = superchunk
         seq_len = self.ball.tracknet_seq_len
         ball = self.ball
 
+        # Wall-clock attribution of the staged loop's HOST-side terms
+        # (the device work overlaps them). Read via last_staged_split
+        # after a run; tools/perf_probe.py / bench.py surface it.
+        split = {"setup_s": 0.0, "prep_wait_s": 0.0, "upload_s": 0.0,
+                 "dispatch_s": 0.0, "assoc_s": 0.0, "drain_s": 0.0}
+        t_ph = time.perf_counter()
         median_resized, median_src, fw, quirk_flags, n, src_hw = (
             self._gather_setup(frame_iter, total_frames)
         )
+        split["setup_s"] = time.perf_counter() - t_ph
 
         key = ("staged", src_hw, b, s, ball.bg_mode, self.ingest,
                self.wire_long_side, self.court_mode, self.ball_stride)

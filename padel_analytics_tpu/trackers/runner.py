@@ -129,7 +129,7 @@ class _StreamingDrawer:
             writer = VideoWriter(
                 r.inference_path,
                 fps=float(r.video_info.fps),
-                resolution_wh=r.video_info.resolution_wh,
+                resolution_wh=r.render_resolution_wh,
             )
             try:
                 store = FrameStore(
@@ -199,6 +199,14 @@ class TrackingRunner:
         # that data-pipeline consumers don't need. No reference equivalent
         # (the reference always renders, runner.py:91-172).
         render: bool = True,
+        # Encode the annotated output at this fraction of the source
+        # resolution (overlays are drawn and analytics collected at FULL
+        # resolution; only the final per-frame downscale + encode shrink).
+        # cv2's mp4v encode is ~12 ms/frame at 1080p on a 1-core host
+        # (BENCH.md) and scales with pixel count, so 0.5 cuts the draw
+        # pass's dominant term ~4x. 1.0 = reference parity (full-res
+        # output, runner.py:96-101). data.csv is identical at any scale.
+        render_scale: float = 1.0,
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
@@ -211,6 +219,11 @@ class TrackingRunner:
         # the drawer to do, so it must stay off or it would encode anyway.
         self.fused_stream_draw = fused_stream_draw and render
         self.render = render
+        if not 0.0 < render_scale <= 1.0:
+            raise ValueError(
+                f"render_scale must be in (0, 1], got {render_scale}"
+            )
+        self.render_scale = float(render_scale)
         self.mesh = mesh
         self.video_path = video_path
         self.inference_path = inference_path
@@ -380,6 +393,18 @@ class TrackingRunner:
             court.save_predictions()
         return True
 
+    @property
+    def render_resolution_wh(self) -> tuple[int, int]:
+        """Output-video resolution: the source resolution scaled by
+        render_scale, rounded to even dims (codec-friendly)."""
+        w, h = self.video_info.resolution_wh
+        if self.render_scale == 1.0:
+            return (w, h)
+        return (
+            max(2, int(round(w * self.render_scale / 2)) * 2),
+            max(2, int(round(h * self.render_scale / 2)) * 2),
+        )
+
     def _draw_one(self, writer, frame_index: int, frame: np.ndarray) -> None:
         """Render + collect one frame (the body of the reference's draw
         loop, runner.py:114-162)."""
@@ -426,6 +451,11 @@ class TrackingRunner:
         )
         if self.data_analytics is not None:
             self.data_analytics.step(1)
+        if self.render_scale != 1.0:
+            output_frame = cv2.resize(
+                output_frame, self.render_resolution_wh,
+                interpolation=cv2.INTER_AREA,
+            )
         writer.write(output_frame)
 
     def _finish_draw(self, writer, t0: float) -> None:
@@ -483,7 +513,7 @@ class TrackingRunner:
         writer = VideoWriter(
             self.inference_path,
             fps=float(self.video_info.fps),
-            resolution_wh=self.video_info.resolution_wh,
+            resolution_wh=self.render_resolution_wh,
         )
         for frame_index, frame in enumerate(self.frame_store):
             self._draw_one(writer, frame_index, frame)

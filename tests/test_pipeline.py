@@ -297,6 +297,53 @@ def test_fused_stream_draw_matches_batch_draw(
     pd.testing.assert_frame_equal(dfs[0], dfs[1])
 
 
+def test_render_scale_halves_output_keeps_analytics(
+    synthetic_video, court_keypoints, tmp_path
+):
+    """render_scale=0.5 writes the annotated video at half resolution
+    (even dims) with the SAME analytics: overlays are drawn and data
+    collected at full resolution, only the final encode shrinks."""
+    dfs, res = [], []
+    for name, scale in (("full", 1.0), ("half", 0.5)):
+        sub = tmp_path / name
+        sub.mkdir()
+        out = sub / "results.mp4"
+        runner = TrackingRunner(
+            trackers=_build_trackers(court_keypoints, sub),
+            video_path=synthetic_video,
+            inference_path=str(out),
+            collect_data=True,
+            fused=True,
+            fused_chunk=6,
+            render_scale=scale,
+        )
+        assert runner.render_resolution_wh == (
+            (W, H) if scale == 1.0 else (W // 2, H // 2)
+        )
+        runner.run()
+        dfs.append(runner.data_analytics.into_dataframe(FPS))
+        cap = cv2.VideoCapture(str(out))
+        res.append(
+            (
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            )
+        )
+        cap.release()
+    assert res[0] == (W, H, N_FRAMES)
+    assert res[1] == (W // 2, H // 2, N_FRAMES)
+    pd.testing.assert_frame_equal(dfs[0], dfs[1])
+
+
+def test_render_scale_validation():
+    # Construction-time validation (runs before any video IO).
+    with pytest.raises(ValueError, match="render_scale"):
+        TrackingRunner([], "nonexistent.mp4", "out.mp4", render_scale=0.0)
+    with pytest.raises(ValueError, match="render_scale"):
+        TrackingRunner([], "nonexistent.mp4", "out.mp4", render_scale=1.5)
+
+
 def test_fused_stream_draw_failure_finalizes_writer(
     synthetic_video, court_keypoints, tmp_path
 ):
