@@ -32,8 +32,20 @@ from ..ops.heatmap import decode_heatmaps
 from ..trackers._ballwindow import assemble_windows
 
 
+# Compiled sharded programs, keyed by everything that shapes the program
+# (mesh, apply_fn identity, window/shard geometry, modes). Without this,
+# every call re-wrapped a FRESH closure in jax.jit(shard_map(...)) and
+# paid a full XLA compile — the round-4 "mesh overhead regression"
+# (BENCH_r04 parity 0.459): run_mesh's timed passes were recompiling the
+# whole TrackNet window program each run. Model weights and the
+# valid-frame count are runtime ARGUMENTS (not closure constants), so
+# weight updates and clip-length changes with the same shard geometry
+# reuse the compiled program.
+_PROGRAM_CACHE: dict = {}
+
+
 def sharded_window_inference(
-    apply_fn: Callable,  # (frames_f32 (B, H, W, C_in)) -> heatmaps (B, H, W, L)
+    apply_fn: Callable,
     frames: np.ndarray,  # (N, H, W, C_f) uint8 preprocessed frame channels
     median: np.ndarray,  # (H, W, 3) uint8 resized median ('concat' only)
     mesh: Mesh,
@@ -41,10 +53,20 @@ def sharded_window_inference(
     eval_mode: str = "weight",
     bg_mode: str = "concat",
     stride: int = 1,
+    variables=None,
 ):
     """Run the full TrackNet window/ensemble/decode pipeline with the frame
     axis sharded over mesh axis 'data'. Returns host (cx, cy, vis) int32
     arrays of length N (identical to the single-device path).
+
+    apply_fn: (frames_f32 (B, H, W, C_in)) -> heatmaps (B, H, W, L), or
+    (variables, frames_f32) -> heatmaps when `variables` is given. Pass
+    variables explicitly for production use: the weights then enter the
+    compiled program as runtime inputs (replicated over the mesh) instead
+    of baked-in constants, so the program is compiled ONCE per
+    (mesh, geometry) and reused across calls and weight updates. Keep
+    apply_fn itself a stable object (not a fresh lambda per call) — it is
+    part of the program cache key.
 
     stride=seq_len selects the nonoverlap fast mode (one forward per
     disjoint window, no temporal ensemble — FusedPipeline ball_stride
@@ -59,7 +81,7 @@ def sharded_window_inference(
         raise ValueError(f"stride must be 1 or seq_len, got {stride}")
     if stride == seq_len:
         return _sharded_nonoverlap_inference(
-            apply_fn, frames, median, mesh, seq_len, bg_mode
+            apply_fn, frames, median, mesh, seq_len, bg_mode, variables
         )
 
     # Pad so every device owns the same number of frames (and windows).
@@ -79,69 +101,77 @@ def sharded_window_inference(
     )
 
     l = seq_len
-    h, w = frames.shape[1:3]
 
-    def shard_fn(frames_local, coef_local, median_rep):
-        # frames_local: (shard, H, W, 3); coef_local: (shard, L).
-        axis = "data"
-        idx = jax.lax.axis_index(axis)
+    key = ("halo", mesh, apply_fn, variables is None, l, bg_mode, shard, d,
+           frames.shape[1:], str(frames.dtype))
+    if key not in _PROGRAM_CACHE:
 
-        # ---- frame halo from the RIGHT neighbor (next shard) ----
-        head = frames_local[: l - 1]
-        halo = jax.lax.ppermute(
-            head, axis, perm=[((i + 1) % d, i) for i in range(d)]
+        def shard_fn(vars_rep, frames_local, coef_local, median_rep, n_valid):
+            # frames_local: (shard, H, W, 3); coef_local: (shard, L).
+            axis = "data"
+            idx = jax.lax.axis_index(axis)
+
+            # ---- frame halo from the RIGHT neighbor (next shard) ----
+            head = frames_local[: l - 1]
+            halo = jax.lax.ppermute(
+                head, axis, perm=[((i + 1) % d, i) for i in range(d)]
+            )
+            ext = jnp.concatenate([frames_local, halo], axis=0)  # (shard+L-1, ...)
+
+            # ---- window assembly + model ----
+            x = assemble_windows(
+                ext.astype(jnp.float32), median_rep, bg_mode, l, shard
+            )
+            y = apply_fn(x) if vars_rep is None else apply_fn(vars_rep, x)
+            y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (shard, L, H, W)
+
+            # Zero out windows that start beyond the last valid window
+            # (their frames are padding; the ensemble coefficients for
+            # real frames never reference them, but keep the buffer clean
+            # regardless).
+            win_start = idx * shard + jnp.arange(shard)
+            y = jnp.where(
+                (win_start <= n_valid - l)[:, None, None, None], y, 0.0
+            )
+
+            # ---- prediction halo from the LEFT neighbor ----
+            tail = y[-(l - 1) :]
+            left = jax.lax.ppermute(
+                tail, axis, perm=[(i, (i + 1) % d) for i in range(d)]
+            )
+            # Device 0's left halo must be zeros (no windows before the clip).
+            left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+            buf = jnp.concatenate([left, y], axis=0)  # (shard + L - 1, L, H, W)
+
+            # ---- overlap ensemble for the local frames (static slices) ----
+            ens = sum(
+                coef_local[:, j, None, None] * buf[j : j + shard, l - 1 - j]
+                for j in range(l)
+            )
+
+            cx, cy, vis = decode_heatmaps(ens)
+            return cx, cy, vis
+
+        spec_frames = P("data")
+        _PROGRAM_CACHE[key] = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), spec_frames, spec_frames, P(), P()),
+                out_specs=(P("data"), P("data"), P("data")),
+            )
         )
-        ext = jnp.concatenate([frames_local, halo], axis=0)  # (shard+L-1, ...)
-
-        # ---- window assembly + model ----
-        x = assemble_windows(
-            ext.astype(jnp.float32), median_rep, bg_mode, l, shard
-        )
-        y = apply_fn(x)  # (shard, H, W, L)
-        y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # (shard, L, H, W)
-
-        # Zero out windows that start beyond the last valid window (their
-        # frames are padding; the ensemble coefficients for real frames
-        # never reference them, but keep the buffer clean regardless).
-        win_start = idx * shard + jnp.arange(shard)
-        y = jnp.where(
-            (win_start <= n_frames - l)[:, None, None, None], y, 0.0
-        )
-
-        # ---- prediction halo from the LEFT neighbor ----
-        tail = y[-(l - 1) :]
-        left = jax.lax.ppermute(
-            tail, axis, perm=[(i, (i + 1) % d) for i in range(d)]
-        )
-        # Device 0's left halo must be zeros (no windows before the clip).
-        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
-        buf = jnp.concatenate([left, y], axis=0)  # (shard + L - 1, L, H, W)
-
-        # ---- overlap ensemble for the local frames (static slices) ----
-        ens = sum(
-            coef_local[:, j, None, None] * buf[j : j + shard, l - 1 - j]
-            for j in range(l)
-        )
-
-        cx, cy, vis = decode_heatmaps(ens)
-        return cx, cy, vis
-
+    fn = _PROGRAM_CACHE[key]
     spec_frames = P("data")
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(spec_frames, spec_frames, P()),
-            out_specs=(P("data"), P("data"), P("data")),
-        )
-    )
     # make_array_from_callback (not device_put): works identically when
     # the mesh spans multiple PROCESSES — each host materializes only its
     # addressable shards from the (replicated) host-side frame array.
     frames_dev = _global_array(frames_p, NamedSharding(mesh, spec_frames))
     coef_dev = _global_array(coef_p, NamedSharding(mesh, spec_frames))
     median_dev = _global_array(np.asarray(median), NamedSharding(mesh, P()))
-    cx, cy, vis = fn(frames_dev, coef_dev, median_dev)
+    cx, cy, vis = fn(
+        variables, frames_dev, coef_dev, median_dev, np.int32(n_frames)
+    )
     return (
         _host_array(cx)[:n_frames],
         _host_array(cy)[:n_frames],
@@ -156,6 +186,7 @@ def _sharded_nonoverlap_inference(
     mesh: Mesh,
     seq_len: int,
     bg_mode: str,
+    variables=None,
 ):
     """Nonoverlap (stride = seq_len) sharded window inference: each shard
     holds whole disjoint windows, so there is no frame halo, no prediction
@@ -170,39 +201,45 @@ def _sharded_nonoverlap_inference(
         [frames, np.zeros((pad_total,) + frames.shape[1:], frames.dtype)]
     )
 
-    def shard_fn(frames_local, median_rep):
-        nwin = shard // l
-        fr = frames_local.astype(jnp.float32).reshape(
-            (nwin, l) + frames_local.shape[1:]
-        )
-        parts = [fr[:, j] for j in range(l)]
-        if bg_mode == "concat":
-            med = jnp.broadcast_to(
-                median_rep[None].astype(jnp.float32),
-                (nwin,) + median_rep.shape,
-            )
-            parts = [med] + parts
-        x = jnp.concatenate(parts, axis=-1) / 255.0
-        y = apply_fn(x)  # (nwin, H, W, L)
-        heat = (
-            jnp.transpose(y, (0, 3, 1, 2))
-            .astype(jnp.float32)
-            .reshape((shard,) + y.shape[1:3])
-        )
-        return decode_heatmaps(heat)
+    key = ("nonoverlap", mesh, apply_fn, variables is None, l, bg_mode,
+           shard, d, frames.shape[1:], str(frames.dtype))
+    if key not in _PROGRAM_CACHE:
 
-    spec_frames = P("data")
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(spec_frames, P()),
-            out_specs=(P("data"), P("data"), P("data")),
+        def shard_fn(vars_rep, frames_local, median_rep):
+            nwin = shard // l
+            fr = frames_local.astype(jnp.float32).reshape(
+                (nwin, l) + frames_local.shape[1:]
+            )
+            parts = [fr[:, j] for j in range(l)]
+            if bg_mode == "concat":
+                med = jnp.broadcast_to(
+                    median_rep[None].astype(jnp.float32),
+                    (nwin,) + median_rep.shape,
+                )
+                parts = [med] + parts
+            x = jnp.concatenate(parts, axis=-1) / 255.0
+            y = apply_fn(x) if vars_rep is None else apply_fn(vars_rep, x)
+            heat = (
+                jnp.transpose(y, (0, 3, 1, 2))
+                .astype(jnp.float32)
+                .reshape((shard,) + y.shape[1:3])
+            )
+            return decode_heatmaps(heat)
+
+        spec_frames = P("data")
+        _PROGRAM_CACHE[key] = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), spec_frames, P()),
+                out_specs=(P("data"), P("data"), P("data")),
+            )
         )
-    )
+    fn = _PROGRAM_CACHE[key]
+    spec_frames = P("data")
     frames_dev = _global_array(frames_p, NamedSharding(mesh, spec_frames))
     median_dev = _global_array(np.asarray(median), NamedSharding(mesh, P()))
-    cx, cy, vis = fn(frames_dev, median_dev)
+    cx, cy, vis = fn(variables, frames_dev, median_dev)
     return (
         _host_array(cx)[:n_frames],
         _host_array(cy)[:n_frames],

@@ -330,12 +330,30 @@ class BallTracker(Tracker):
             from ..parallel.sharded_inference import sharded_window_inference
 
             engine = self.tracknet
+            # Stable apply + replicated weights, cached per mesh: the
+            # sharded window program is compile-cached on (mesh, apply_fn,
+            # geometry), so a fresh closure per call would recompile it
+            # every run (parallel/sharded_inference._PROGRAM_CACHE).
+            cache = getattr(self, "_mesh_apply_cache", None)
+            if cache is None or cache[2] is not engine.variables:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            def apply_fn(x):
-                return engine.model.apply(engine.variables, x)
+                def _mesh_apply(vars_rep, x):
+                    return engine.model.apply(vars_rep, x)
 
+                if cache is not None:  # weights changed: keep the program
+                    _mesh_apply = cache[0]
+                self._mesh_apply_cache = (
+                    _mesh_apply,
+                    jax.device_put(
+                        engine.variables,
+                        NamedSharding(self.mesh, PartitionSpec()),
+                    ),
+                    engine.variables,
+                )
+            mesh_apply, mesh_vars, _ = self._mesh_apply_cache
             scx, scy, svis = sharded_window_inference(
-                apply_fn,
+                mesh_apply,
                 np.stack(resized),
                 median_resized,
                 self.mesh,
@@ -343,6 +361,7 @@ class BallTracker(Tracker):
                 eval_mode=self.EVAL_MODE,
                 bg_mode=self.bg_mode,
                 stride=getattr(self, "window_stride", 1),
+                variables=mesh_vars,
             )
             pred = {
                 "frame": list(range(video_len)),

@@ -88,7 +88,7 @@ def main() -> int:
     )
     poly = np.array([kps[0], kps[1], kps[-1], kps[-2]])
 
-    def build():
+    def build(association: str = "auto"):
         players = PlayerTracker(
             None, PolygonZone(poly, (w, h)), batch_size=args.chunk,
             model_variant="n", compute_dtype=jnp.float32,
@@ -98,6 +98,12 @@ def main() -> int:
             None, train_image_size=64, batch_size=args.chunk,
             model_variant="n", compute_dtype=jnp.float32,
         )
+        # Random-init smoke weights gate ~all 84 anchors at conf .25
+        # (untrained sigmoids — see bench.calibrate_synthetic_conf);
+        # raise the tiny model's pre-filter so the scaling rows don't
+        # spray truncation warnings into the artifact tail.
+        pose.nms_top_k = 128
+        pose.nms_saturation.top_k = 128
         ball = BallTracker(
             None, None, compute_dtype=jnp.float32,
             config=BallTrackerConfig(
@@ -110,7 +116,8 @@ def main() -> int:
         for t in (players, pose, ball, court):
             t.video_info_post_init(info)
         return FusedPipeline(
-            players, pose, ball, court, chunk=args.chunk, ingest="rgb"
+            players, pose, ball, court, chunk=args.chunk, ingest="rgb",
+            association=association,
         )
 
     results: dict = {"frames": n, "platform": "cpu-virtual"}
@@ -137,6 +144,26 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             mesh_fps[str(d)] = f"failed: {type(e).__name__}"
     results["mesh_fps_by_devices"] = mesh_fps
+
+    # Association A/B at 8 devices (round-4 verdict item 1): run_mesh's
+    # 'auto' resolves to the on-device scan; this row pins what the host
+    # ByteTrack alternative costs/saves at matched resources.
+    if len(devs) >= 8:
+        mesh8 = Mesh(np.array(devs[:8]), ("data",))
+        for assoc in ("host", "device"):
+            pipe_a = build(assoc)
+            try:
+                pipe_a.run_mesh(iter(frames), n, mesh8)  # warm
+                t0 = time.perf_counter()
+                pipe_a.run_mesh(iter(frames), n, mesh8)
+                results[f"mesh8_fps_assoc_{assoc}"] = round(
+                    n / (time.perf_counter() - t0), 2
+                )
+            except Exception as e:  # noqa: BLE001
+                results[f"mesh8_fps_assoc_{assoc}"] = (
+                    f"failed: {type(e).__name__}"
+                )
+
     base = results["single_device_fps"]
     if isinstance(mesh_fps.get("8"), (int, float)) and base:
         # ~1.0 => the sharded program adds no overhead at matched
