@@ -28,7 +28,12 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 from ..analytics import DataAnalytics, ProjectedCourt
-from ..utils.video import VideoInfo, VideoWriter, frame_generator
+from ..utils.video import (
+    VideoInfo,
+    VideoWriter,
+    frame_generator,
+    make_video_writer,
+)
 from .base import Tracker
 from .objects import Ball, Keypoints, Players
 
@@ -126,10 +131,11 @@ class _StreamingDrawer:
                 "(streaming)"
             )
             t0 = timeit.default_timer()
-            writer = VideoWriter(
+            writer = make_video_writer(
                 r.inference_path,
                 fps=float(r.video_info.fps),
                 resolution_wh=r.render_resolution_wh,
+                encoder=r.encoder,
             )
             try:
                 store = FrameStore(
@@ -207,6 +213,12 @@ class TrackingRunner:
         # pass's dominant term ~4x. 1.0 = reference parity (full-res
         # output, runner.py:96-101). data.csv is identical at any scale.
         render_scale: float = 1.0,
+        # 'inline' = in-process cv2 encode (reference-equal);
+        # 'subprocess' = pipe-fed child process doing cvtColor + mp4v
+        # (utils.video.SubprocessVideoWriter): the encode overlaps the
+        # parent's host work at the OS level. Same container/codec either
+        # way; bench.py --encoder A/Bs them.
+        encoder: str = "inline",
     ):
         self.fused = fused
         self.fused_chunk = fused_chunk
@@ -224,6 +236,7 @@ class TrackingRunner:
                 f"render_scale must be in (0, 1], got {render_scale}"
             )
         self.render_scale = float(render_scale)
+        self.encoder = encoder
         self.mesh = mesh
         self.video_path = video_path
         self.inference_path = inference_path
@@ -474,7 +487,16 @@ class TrackingRunner:
         print("runner: Collecting data (render=False; no video output)")
         t0 = timeit.default_timer()
         n = self.total_frames
-        for tracker in self.trackers.values():
+        for name, tracker in self.trackers.items():
+            if len(tracker.results) < self.total_frames:
+                # The rendered path (_draw_one) hits an IndexError on the
+                # same inconsistent-cache condition; fail just as loudly
+                # here instead of silently truncating the analytics.
+                raise ValueError(
+                    f"tracker {name!r} has {len(tracker.results)} results "
+                    f"for a {self.total_frames}-frame clip — inconsistent "
+                    "prediction cache (delete it or re-run inference)"
+                )
             n = min(n, len(tracker.results))
         for frame_index in range(n):
             players_detection = None
@@ -510,11 +532,18 @@ class TrackingRunner:
             return
         print(f"runner: Writing results into {str(self.inference_path)}")
         t0 = timeit.default_timer()
-        writer = VideoWriter(
+        writer = make_video_writer(
             self.inference_path,
             fps=float(self.video_info.fps),
             resolution_wh=self.render_resolution_wh,
+            encoder=self.encoder,
         )
-        for frame_index, frame in enumerate(self.frame_store):
-            self._draw_one(writer, frame_index, frame)
+        try:
+            for frame_index, frame in enumerate(self.frame_store):
+                self._draw_one(writer, frame_index, frame)
+        except BaseException:
+            # Finalize the container (and free the shared encoder child's
+            # lock) before the error surfaces.
+            writer.release()
+            raise
         self._finish_draw(writer, t0)

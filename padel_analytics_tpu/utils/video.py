@@ -10,6 +10,7 @@ host-side; TPU never touches codec work.
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Iterator, Optional
@@ -152,3 +153,140 @@ class VideoWriter:
     def __exit__(self, *exc):
         self.release()
         return False
+
+
+# One encoder child per process, reused across writers: python startup in
+# this image is ~4-5s (the jax sitecustomize preimport), so a fresh child
+# per draw pass would eat the win. Serial use is guarded by a lock.
+_ENCODER_PROC = None
+_ENCODER_LOCK = None
+
+
+def _shared_encoder_proc():
+    import subprocess
+    import threading
+
+    global _ENCODER_PROC, _ENCODER_LOCK
+    if _ENCODER_LOCK is None:
+        _ENCODER_LOCK = threading.Lock()
+    if _ENCODER_PROC is None or _ENCODER_PROC.poll() is not None:
+        worker = Path(__file__).with_name("encoder_worker.py")
+        # Invoke by PATH, not -m: the package __init__ would import jax
+        # in the child for nothing.
+        _ENCODER_PROC = subprocess.Popen(
+            [sys.executable, str(worker)],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+        )
+    return _ENCODER_PROC
+
+
+def shutdown_shared_encoder() -> None:
+    """Terminate the shared encoder child (tests / process teardown)."""
+    global _ENCODER_PROC
+    proc = _ENCODER_PROC
+    _ENCODER_PROC = None
+    if proc is not None and proc.poll() is None:
+        try:
+            proc.stdin.write(b"Q")
+            proc.stdin.flush()
+            proc.stdin.close()
+            proc.wait(timeout=10)
+        except Exception:
+            proc.kill()
+
+
+class SubprocessVideoWriter:
+    """VideoWriter twin that encodes in a child PROCESS fed by a pipe.
+
+    The draw loop's dominant cost is cv2's mp4v encode (12.1 of 14.4
+    ms/frame at 1080p — BENCH.md); in-process threading cannot hide it on
+    a 1-core host because the upload serializer holds the GIL and the
+    core. A child process lets the OS timeshare the encode into whatever
+    idle the wire waits leave. write() costs one pipe memcpy; a feeder
+    thread with a bounded queue (depth 4) absorbs encode jitter without
+    unbounded memory; release() blocks on the child's ack, so any encode
+    backlog is paid INSIDE the caller's timing window (the bench A/B
+    cannot undercount the tail flush). `bench.py --encoder subprocess`
+    A/Bs this against the inline writer."""
+
+    QUEUE_DEPTH = 4
+
+    def __init__(self, path: str | Path, fps: float,
+                 resolution_wh: tuple[int, int]):
+        import queue
+        import struct
+        import threading
+
+        self._proc = _shared_encoder_proc()
+        _ENCODER_LOCK.acquire()  # serialize writers over the shared child
+        self._released = False
+        w, h = resolution_wh
+        pb = str(path).encode("utf-8")
+        msg = (b"O" + struct.pack("<H", len(pb)) + pb
+               + struct.pack("<dII", float(fps), w, h))
+        self._proc.stdin.write(msg)
+        self._proc.stdin.flush()
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.QUEUE_DEPTH)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._feed, daemon=True)
+        self._thread.start()
+
+    def _feed(self) -> None:
+        try:
+            while True:
+                frame = self._q.get()
+                if frame is None:
+                    return
+                self._proc.stdin.write(b"F")
+                self._proc.stdin.write(frame.tobytes())
+            # no flush per frame: the pipe flushes itself; 'C' flushes.
+        except BaseException as e:  # noqa: BLE001
+            self._exc = e
+            # drain so the producer never deadlocks on a full queue
+            while self._q.get() is not None:
+                pass
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        if self._exc is not None:
+            raise RuntimeError("encoder child failed") from self._exc
+        self._q.put(np.ascontiguousarray(frame_rgb))
+
+    def release(self) -> None:
+        if self._released:
+            return
+        self._released = True
+        try:
+            self._q.put(None)
+            self._thread.join()
+            if self._exc is not None:
+                raise RuntimeError("encoder child failed") from self._exc
+            self._proc.stdin.write(b"C")
+            self._proc.stdin.flush()
+            ack = self._proc.stdout.read(1)
+            if ack != b"K":
+                raise RuntimeError(
+                    f"encoder child died (ack {ack!r}, rc {self._proc.poll()})"
+                )
+        finally:
+            _ENCODER_LOCK.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+        return False
+
+
+def make_video_writer(path: str | Path, fps: float,
+                      resolution_wh: tuple[int, int],
+                      encoder: str = "inline"):
+    """Writer factory: 'inline' = in-process cv2 (reference-equal),
+    'subprocess' = pipe-fed child encoder (overlaps encode with host
+    work; same mp4v output)."""
+    if encoder == "subprocess":
+        return SubprocessVideoWriter(path, fps, resolution_wh)
+    if encoder != "inline":
+        raise ValueError(f"unknown encoder {encoder!r}")
+    return VideoWriter(path, fps, resolution_wh)
