@@ -81,7 +81,7 @@ def court_keypoints(w: int, h: int):
 def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
                  staged=0, pallas=False, ingest="i420", wire=960,
                  pose_size=None, subpixel=False, ball_stride=1,
-                 stream_draw=False, render_scale=1.0):
+                 stream_draw=False, render_scale=1.0, encoder="inline"):
     import jax.numpy as jnp
 
     from padel_analytics_tpu.config import (
@@ -166,7 +166,103 @@ def build_runner(video_path, out_path, kp, polygon, wh, smoke, chunk=16,
         fused_ball_stride=ball_stride,
         fused_stream_draw=stream_draw,
         render_scale=render_scale,
+        encoder=encoder,
     )
+
+
+def _shift_cls_bias(variables, delta: float):
+    """Return variables with every cls head's final-projection bias
+    shifted by `delta` — the one transform that moves ALL anchor class
+    logits by exactly delta (the projection is linear in its bias)
+    without touching program shapes, so compiled steps stay valid."""
+    from flax.core import unfreeze
+
+    v = dict(unfreeze(variables))
+    params = dict(v["params"])
+    for k in list(params):
+        if k.startswith("cls_"):
+            branch = dict(params[k])
+            proj = dict(branch["proj"])
+            proj["bias"] = proj["bias"] + delta
+            branch["proj"] = proj
+            params[k] = branch
+    v["params"] = params
+    return v
+
+
+def _probe_candidates(tracker, kind: str, frames_u8) -> tuple[float, int]:
+    """Mean/max pre-NMS candidate count for a frame stack, through the
+    tracker's OWN jitted step (variables are runtime args, so bias shifts
+    never recompile; the step cache key matches detect_sample's, so this
+    doubles as its warmup)."""
+    import jax.numpy as jnp
+
+    from padel_analytics_tpu.trackers import _engine
+
+    src_hw = frames_u8.shape[1:3]
+    padded, n_real = _engine.pad_batch(frames_u8, tracker.batch_size)
+    step = tracker.engine.jit_step(
+        (kind, src_hw, padded.shape[0]),
+        lambda: tracker._build_step(src_hw, padded.shape[0]),
+    )
+    out = step(tracker.engine.variables, jnp.asarray(padded))
+    n_cand = np.asarray(out[-1])[:n_real]
+    return float(n_cand.mean()), int(n_cand.max())
+
+
+def calibrate_synthetic_conf(runner, video: str, target: int = 16,
+                             iters: int = 14) -> dict:
+    """Make the bench's random-init YOLO heads gate like trained ones.
+
+    Untrained cls logits sit near 0 (sigmoid ~0.5), so conf gating passes
+    (nearly) every anchor — the r4 artifact saturated the pre-NMS top_k
+    buffers on ALL 240 frames (pose max 33,600 = every anchor). Trained
+    heads gate to tens of candidates even on dense scenes
+    (tests/test_nms_topk_dense.py), so that workload is one no real
+    checkpoint produces. This bisects a uniform cls-bias shift per model
+    until ~`target` anchors/frame pass that model's conf threshold:
+    realistic NMS workloads, warning-free artifacts, identical program
+    shapes (the shift cannot change timing). Probes reuse the trackers'
+    own step caches; identical frame uploads ride the tunnel's replay
+    cache."""
+    from padel_analytics_tpu.utils.video import frame_generator
+
+    frames = []
+    for f in frame_generator(video):
+        frames.append(f)
+        if len(frames) >= 8:
+            break
+    frames = np.stack(frames)
+
+    report = {}
+    jobs = [
+        (runner.trackers.get("players_tracker"), "det"),
+        (runner.trackers.get("players_keypoints_tracker"), "pose"),
+    ]
+    for tracker, kind in jobs:
+        if tracker is None:
+            continue
+        orig = tracker.engine.variables
+        lo, hi = -40.0, 10.0  # mean count is monotone decreasing in delta
+        mid = mean = max_c = None
+        for _ in range(iters):
+            mid = (lo + hi) / 2.0
+            tracker.engine.variables = _shift_cls_bias(orig, mid)
+            mean, max_c = _probe_candidates(tracker, kind, frames)
+            if mean > target:
+                hi = mid
+            else:
+                lo = mid
+            if target * 0.75 <= mean <= target * 1.5:
+                break
+        # The last-probed shift is the one left applied; report that.
+        report[str(tracker)] = {
+            "bias_shift": round(mid, 3),
+            "mean_candidates": round(mean, 1),
+            "max_candidates": max_c,
+            "top_k": tracker.nms_top_k,
+        }
+    return report
 
 
 def bench_court_modes(runner, video: str, n: int) -> dict:
@@ -337,6 +433,15 @@ def main() -> int:
         "frames, no temporal ensemble — opt-in speed/quality trade; "
         "1 = reference stride-1 ensemble)",
     )
+    # Realistic conf gating for the random-init bench models (see
+    # calibrate_synthetic_conf): without it the pre-NMS top_k buffers
+    # saturate on every frame with workloads no trained checkpoint
+    # produces (r4 artifact tail). Identical program shapes either way.
+    parser.add_argument(
+        "--calibrate", action=argparse.BooleanOptionalAction, default=True,
+        help="bisect a cls-bias shift per model so ~16 anchors/frame "
+        "pass conf (trained-checkpoint-like NMS workloads)",
+    )
     # Default ON since the on-chip A/B confirmed the win (tools/
     # fast_probe.py, v5e: 2.142 -> 1.985 ms/img, 1.08x; max|logit diff|
     # 5e-4). The parity-config section always runs subpixel OFF.
@@ -345,9 +450,6 @@ def main() -> int:
         help="TrackNet subpixel up-conv rewrite (exact, 1.19x fewer "
         "MACs — models/tracknet.py); on-chip A/B-confirmed 1.08x",
     )
-    # On by default so the official artifact carries the measured-scaling
-    # section (the driver invokes plain `python bench.py`); the CPU
-    # subprocess is independent of the chip.
     # Streaming draw: render/encode on a drawer thread concurrently with
     # inference. The tunnel upload is wire-bound (not CPU-bound), so even
     # on this 1-core host the draw pass can hide under the blocking
@@ -366,6 +468,23 @@ def main() -> int:
         "source resolution (1.0 = reference-parity full-res; the mp4v "
         "encode cost scales with pixel count — runner.render_scale)",
     )
+    # The draw pass's dominant term is the 12.1 ms/frame mp4v encode
+    # (BENCH.md); 'subprocess' moves it to a pipe-fed child so the OS can
+    # timeshare it into the wire waits (no GIL coupling, unlike
+    # --stream-draw's thread). The official run also A/Bs one timed pass
+    # with the other encoder and records both (encoder_ab in the
+    # artifact) unless --no-encoder-ab.
+    parser.add_argument(
+        "--encoder", default="subprocess", choices=("inline", "subprocess"),
+        help="video encode path for the draw pass (same mp4v output)",
+    )
+    parser.add_argument(
+        "--encoder-ab", action=argparse.BooleanOptionalAction, default=True,
+        help="time one extra pass with the other encoder and record both",
+    )
+    # On by default so the official artifact carries the measured-scaling
+    # section (the driver invokes plain `python bench.py`); the CPU
+    # subprocess is independent of the chip.
     parser.add_argument(
         "--mesh", action=argparse.BooleanOptionalAction, default=True,
         help="measure run_mesh throughput on the virtual 8-device "
@@ -429,10 +548,21 @@ def _bench_body(args, record: dict, time_left) -> None:
                           pose_size=pose_size, subpixel=args.subpixel,
                           ball_stride=args.ball_stride,
                           stream_draw=args.stream_draw,
-                          render_scale=args.render_scale)
+                          render_scale=args.render_scale,
+                          encoder=args.encoder)
 
     # All pipeline prints go to stderr: stdout carries ONLY the JSON line.
     with contextlib.redirect_stdout(sys.stderr):
+        if args.calibrate:
+            print("bench: calibrating synthetic conf gating...")
+            t0 = time.perf_counter()
+            record["conf_calibration"] = calibrate_synthetic_conf(
+                runner, video
+            )
+            print(
+                f"bench: calibration {time.perf_counter() - t0:.1f}s: "
+                f"{record['conf_calibration']}"
+            )
         # Warmup pass: populates every jit cache (and the ball median).
         print("bench: warmup pass (compiles)...")
         t0 = time.perf_counter()
@@ -468,6 +598,14 @@ def _bench_body(args, record: dict, time_left) -> None:
     # later section leaves a valid artifact.
     record["value"] = round(fps, 2)
     record["vs_baseline"] = round(fps / fps_video, 2)
+    # Saturation tallies over every frame this run processed: the
+    # "zero saturated_frames" claim the calibration makes, verifiable in
+    # the artifact itself.
+    record["nms_saturation"] = {
+        name: t.nms_saturation.summary()
+        for name, t in runner.trackers.items()
+        if hasattr(t, "nms_saturation")
+    }
     record["config"] = {
         "frames": n,
         "staged": args.staged,
@@ -480,7 +618,46 @@ def _bench_body(args, record: dict, time_left) -> None:
         "ball_stride": args.ball_stride,
         "stream_draw": args.stream_draw,
         "render_scale": args.render_scale,
+        "encoder": args.encoder,
     }
+    # Per-segment attribution of the (last) timed pass: inference vs the
+    # serialized draw/encode — the terms the encoder A/B moves.
+    record["stage_times_s"] = {
+        k: round(v, 2) for k, v in runner.stage_times.items()
+    }
+
+    # Encoder A/B (round-4 verdict item 3): one timed pass with the OTHER
+    # encode path, so every artifact carries the measured comparison on
+    # the day's tunnel weather.
+    if args.encoder_ab and not args.smoke:
+        other = "inline" if args.encoder == "subprocess" else "subprocess"
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                runner.encoder = other
+                runner.restart()
+                t0 = time.perf_counter()
+                runner.run()
+                if runner.data_analytics is not None:
+                    df = runner.data_analytics.into_dataframe(fps_video)
+                    del df
+                ab_elapsed = time.perf_counter() - t0
+                runner.encoder = args.encoder
+            record["encoder_ab"] = {
+                args.encoder: {
+                    "e2e_fps": round(fps, 2),
+                    "draw_s": record["stage_times_s"].get("draw_and_collect"),
+                },
+                other: {
+                    "e2e_fps": round(n / ab_elapsed, 2),
+                    "draw_s": round(
+                        runner.stage_times.get("draw_and_collect", 0.0), 2
+                    ),
+                },
+            }
+            print(f"bench: encoder A/B {record['encoder_ab']}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: encoder A/B skipped: {e!r}", file=sys.stderr)
 
     # Per-tracker figures (BASELINE.json's per-config metrics): bounded
     # timed sequential passes at batch 8 over the head of the clip, folded
@@ -593,7 +770,14 @@ def _bench_body(args, record: dict, time_left) -> None:
     # is the expensive one (200-450s seen on the tunnel), hence the wide
     # time gate.
     parity_cfg = None
-    already_parity = args.ingest == "i420" and pose_size == 1280
+    # The main run IS the parity config only when it matches on every
+    # axis the parity section pins: ingest, pose size, subpixel OFF,
+    # stride-1 ball ensemble (the parity section always runs subpixel
+    # off and stride 1).
+    already_parity = (
+        args.ingest == "i420" and pose_size == 1280
+        and not args.subpixel and args.ball_stride == 1
+    )
     if (not args.no_parity_config and not args.smoke
             and not already_parity and time_left() > 900):
         try:
@@ -603,6 +787,9 @@ def _bench_body(args, record: dict, time_left) -> None:
                     (w, h), False, args.chunk, args.staged,
                     pallas=args.pallas, ingest="i420", pose_size=1280,
                 )
+                if args.calibrate:
+                    parity_calib = calibrate_synthetic_conf(p_runner, video)
+                    print(f"bench: parity calibration {parity_calib}")
                 print("bench: parity-config warmup (pose@1280 compiles)...")
                 p_runner.run()
                 for tracker in p_runner.trackers.values():

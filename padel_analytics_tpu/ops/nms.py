@@ -104,6 +104,7 @@ class SaturationCounter:
         self.top_k = top_k
         self.saturated_frames = 0
         self.total_frames = 0
+        self.max_candidates = 0
         self._warned = False
 
     def update(self, n_candidates) -> None:
@@ -111,6 +112,8 @@ class SaturationCounter:
 
         n = np.asarray(n_candidates)
         self.total_frames += int(n.size)
+        if n.size:
+            self.max_candidates = max(self.max_candidates, int(n.max()))
         sat = int((n > self.top_k).sum())
         if sat:
             self.saturated_frames += sat
@@ -128,6 +131,7 @@ class SaturationCounter:
             "top_k": self.top_k,
             "saturated_frames": self.saturated_frames,
             "total_frames": self.total_frames,
+            "max_candidates": self.max_candidates,
         }
 
 
