@@ -50,9 +50,17 @@ import tempfile
 from pathlib import Path
 
 
-def build_and_run(args, weights: dict, tmp: Path) -> dict:
+def build_and_run(args, weights: dict, tmp: Path,
+                  fast_path: bool = False) -> dict:
     """Run the pipeline with the given weights; returns {kind: cache_path}
-    of OUR freshly-written caches."""
+    of OUR freshly-written caches.
+
+    fast_path=True runs the bench headline configuration instead of the
+    reference-parity one: ingest='derived' (<=--fast-wire-long-side wire
+    buffer, two-step resize) and pose at --fast-pose-size (reference-
+    supported train_image_size, players_keypoints_tracker.py:240). Used
+    by --fast-path to attach a measured quality verdict to the fast
+    configs the day real weights appear."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -90,7 +98,9 @@ def build_and_run(args, weights: dict, tmp: Path) -> dict:
     ours["players"] = str(tmp / "players.json")
     pose = PlayerKeypointsTracker(
         weights.get("pose"),
-        train_image_size=1280,
+        train_image_size=(
+            getattr(args, "fast_pose_size", 640) if fast_path else 1280
+        ),
         batch_size=8,
         model_variant=args.variant,
         compute_dtype=jnp.bfloat16,
@@ -124,6 +134,12 @@ def build_and_run(args, weights: dict, tmp: Path) -> dict:
         )
     ours["keypoints"] = str(tmp / "keypoints.json")
 
+    fused_kwargs = {}
+    if fast_path:
+        fused_kwargs = {
+            "fused_ingest": "derived",
+            "fused_wire_long_side": getattr(args, "fast_wire_long_side", 960),
+        }
     runner = TrackingRunner(
         [players, pose, ball, court],
         args.video,
@@ -131,6 +147,7 @@ def build_and_run(args, weights: dict, tmp: Path) -> dict:
         end=args.max_frames,
         collect_data=False,
         fused=True,
+        **fused_kwargs,
     )
     runner.run()
     return ours
@@ -194,6 +211,20 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--strict", action="store_true",
                         help="non-zero exit when anything is skipped or >1px")
+    parser.add_argument(
+        "--fast-path", action="store_true",
+        help="ALSO run the bench headline config (ingest='derived' + "
+        "pose@--fast-pose-size) and report its per-tracker px deltas vs "
+        "this run's parity-config outputs — the fast path's measured "
+        "quality trade on these weights (smoke-scale evidence: "
+        "tools/derived_quality_demo.py)",
+    )
+    parser.add_argument("--fast-wire-long-side", type=int, default=960)
+    parser.add_argument("--fast-pose-size", type=int, default=640)
+    parser.add_argument(
+        "--fast-bound", type=float, default=5.0,
+        help="px bound for the fast-path verdict (vs parity outputs)",
+    )
     args = parser.parse_args(argv)
 
     wdir = Path(args.weights_dir)
@@ -229,11 +260,42 @@ def main(argv=None) -> int:
 
     report["max_px_overall"] = worst
     report["within_1px_verdict"] = bool(worst <= 1.0) and not skipped
+
+    fast_fail = False
+    if args.fast_path:
+        # Second run in the bench headline config; compared against THIS
+        # run's parity outputs (not the reference caches), so the section
+        # isolates the fast path's own quality trade on these weights.
+        fast_tmp = tmp / "fast"
+        fast_tmp.mkdir()
+        fast = build_and_run(args, weights, fast_tmp, fast_path=True)
+        section: dict = {
+            "config": {
+                "ingest": "derived",
+                "wire_long_side": args.fast_wire_long_side,
+                "pose_image_size": args.fast_pose_size,
+            }
+        }
+        worst_fast = 0.0
+        for kind in REF_CACHE_NAMES:
+            with open(fast[kind]) as f:
+                a = json.load(f)
+            with open(ours[kind]) as f:
+                b = json.load(f)
+            stats = COMPARATORS[kind](a, b)
+            section[kind] = stats
+            if "max_px" in stats and np_isfinite(stats["max_px"]):
+                worst_fast = max(worst_fast, stats["max_px"])
+        section["max_px_vs_parity"] = worst_fast
+        section["within_bound_verdict"] = bool(worst_fast <= args.fast_bound)
+        report["fast_path"] = section
+        fast_fail = not section["within_bound_verdict"]
+
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     print(f"validate: report written to {args.out}")
-    if args.strict and (skipped or worst > 1.0):
+    if args.strict and (skipped or worst > 1.0 or fast_fail):
         return 1
     return 0
 

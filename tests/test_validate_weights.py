@@ -182,6 +182,45 @@ def test_validate_weights_reference_format_checkpoints(
         assert isinstance(report[kind], dict), report[kind]
 
 
+def test_validate_weights_fast_path_section(clip_and_kps, tmp_path, monkeypatch):
+    """Round-4 verdict item 7: `--fast-path` reruns the pipeline in the
+    bench headline config (derived ingest + half-res pose) and reports
+    its per-tracker px deltas against the SAME run's parity outputs, so
+    the day real weights appear both configs get automatic verdicts.
+    Rehearsed here with stub weights at smoke scale (wire 240 < the
+    320-px source, so the two-step resize path actually engages)."""
+    from padel_analytics_tpu.apps import validate_weights as vw
+
+    video, kps = clip_and_kps
+    weights_dir = tmp_path / "weights"
+    weights_dir.mkdir()
+    cache_dir = tmp_path / "ref_caches"
+    cache_dir.mkdir()
+
+    monkeypatch.setattr(vw, "build_and_run", _shrunken(vw.build_and_run))
+    rc = vw.main([
+        "--weights-dir", str(weights_dir),
+        "--cache-dir", str(cache_dir),
+        "--video", video,
+        "--keypoints", kps,
+        "--variant", "n",
+        "--fast-path",
+        "--fast-wire-long-side", "240",
+        "--out", str(tmp_path / "r.json"),
+    ])
+    assert rc == 0
+    report = json.loads((tmp_path / "r.json").read_text())
+    section = report["fast_path"]
+    assert section["config"] == {
+        "ingest": "derived", "wire_long_side": 240, "pose_image_size": 640,
+    }
+    # every tracker got a real comparator verdict (fast vs parity run)
+    for kind in vw.REF_CACHE_NAMES:
+        assert isinstance(section[kind], dict), section[kind]
+    assert "max_px_vs_parity" in section
+    assert isinstance(section["within_bound_verdict"], bool)
+
+
 def _save_ultralytics_pt(path, cls_name, torch_model):
     """torch.save a fake whole-module ultralytics checkpoint: the class
     claims __module__='ultralytics.nn.tasks', so weights_only=True fails
@@ -221,7 +260,7 @@ class _ArgsNS:
 def _shrunken(orig):
     """Wrap build_and_run to shrink the pose input size for CPU CI."""
 
-    def wrapper(args, weights, tmp):
+    def wrapper(args, weights, tmp, **kw_outer):
         import padel_analytics_tpu.trackers.ball as bl
         import padel_analytics_tpu.trackers.player_keypoints as pk
         from padel_analytics_tpu.config import BallTrackerConfig
@@ -242,7 +281,7 @@ def _shrunken(orig):
         pk.PlayerKeypointsTracker.__init__ = small_pk
         bl.BallTracker.__init__ = small_bl
         try:
-            return orig(args, weights, tmp)
+            return orig(args, weights, tmp, **kw_outer)
         finally:
             pk.PlayerKeypointsTracker.__init__ = orig_pk
             bl.BallTracker.__init__ = orig_bl

@@ -132,7 +132,8 @@ def run_demo(steps: int = 150, n_train: int = 16, n_eval: int = 8,
     after = evaluate_map(model, variables(), ev_images, ev_boxes, ev_mask)
     if verbose:
         print(f"after {step} steps: {after}", flush=True)
-    return {"before": before, "after": after, "losses": losses}
+    return {"before": before, "after": after, "losses": losses,
+            "variables": variables(), "model": model}
 
 
 def main() -> int:
