@@ -56,9 +56,11 @@ class ConvBN(nn.Module):
     /root/reference/trackers/ball_tracker/models.py:5-17; the YOLO flavor
     (SiLU) mirrors ultralytics' Conv.
 
-    use_pallas: inference-time fast path — stride-1 3x3 blocks run as the
-    fused Pallas conv+BN+act kernel (ops/pallas_conv.py; XLA's emitter
-    measured at ~2% MXU peak on sub-128-channel layers). The parameter
+    use_pallas: retained kernel experiment (default OFF) — stride-1 3x3
+    blocks run as the fused Pallas conv+BN+act kernel
+    (ops/pallas_conv.py). Corrected probes measure XLA's own emitter at
+    ~54% of bf16 peak here and the Pallas route 2x slower (BENCH.md
+    round-3 corrections), so this is NOT a fast path. The parameter
     tree is IDENTICAL either way (same names, shapes, init), so
     checkpoints and converters are oblivious to the flag. Training and
     non-3x3/strided blocks always take the XLA path.

@@ -1,12 +1,18 @@
 """Hand-scheduled TrackNet inference forward built on the Pallas fused
 conv kernel (ops/pallas_conv.py).
 
-XLA's conv emitter runs TrackNet's sub-128-channel 3x3 layers at ~2% of
-the v5e MXU peak (tools/conv_probe.py). This module re-executes the SAME
-Flax variables (models/tracknet.py parameter tree — checkpoint-compatible
-with models/convert.py) through the Pallas conv3x3+BN+act kernel, keeping
-max-pool / nearest-upsample / concat / the 1x1 predictor in XLA where it
-is already fine.
+RETAINED EXPERIMENT, NOT A FAST PATH. The round-2 probe that motivated
+this ("XLA convs at ~2% MXU") was polluted by per-call host uploads; the
+corrected resident-buffer probes (BENCH.md round-3 corrections) measure
+XLA's conv emitter running the full TrackNet at ~54% of v5e bf16 peak
+(2.14 ms/img, exact GMAC accounting), while this Pallas route measured
+2x SLOWER at the variants tried. It stays in-tree behind
+`use_pallas=False` as the starting point for future kernel iteration on
+a PCIe-attached host (each Mosaic compile is 10-40 min on the tunnel).
+This module re-executes the SAME Flax variables (models/tracknet.py
+parameter tree — checkpoint-compatible with models/convert.py) through
+the Pallas conv3x3+BN+act kernel, keeping max-pool / nearest-upsample /
+concat / the 1x1 predictor in XLA.
 
 Usage: `FastTrackNet(out_dim)` duck-types the `.apply(variables, x)`
 surface the trackers drive (trackers/_engine.Engine), so it drops into

@@ -3,11 +3,15 @@
 The pose model (YOLOv8m@1280, players_keypoints_tracker.py:285-292
 workload) and TrackNet (ball_tracker models.py:45-74) spend most of their
 FLOPs in 3x3 convs whose channel counts sit below the MXU's 128 lanes
-(27/48/64/96/192). XLA's generic conv emitter collapses there — measured
-1.8% of peak on TrackNet's 27->64 stem (tools/conv_probe.py, v5e) — so
-this kernel owns the layout: the conv+BN+activation block runs as ONE
-VMEM-resident pass per spatial tile, with the BatchNorm affine and
-activation fused into the matmul epilogue.
+(27/48/64/96/192). The round-2 reading that XLA "collapses" there (1.8%
+of peak on the 27->64 stem) was an upload-polluted probe artifact; the
+corrected resident-buffer measurement (BENCH.md round-3 corrections) has
+XLA's emitter at ~54% of bf16 peak on the whole net, and THIS kernel 2x
+slower than it at the two variants tried. It stays in-tree behind
+`use_pallas=False` for future iteration on a PCIe host. Design: the
+conv+BN+activation block runs as ONE VMEM-resident pass per spatial
+tile, with the BatchNorm affine and activation fused into the matmul
+epilogue.
 
 Two contraction strategies, picked per layer:
 - Cin < 128 (the starved case): im2col — 9 shifted views concatenate into

@@ -398,6 +398,12 @@ class FusedPipeline:
         # shard edges — parallel/sharded_inference.py).
         self.ball_stride = ball_stride
         self._step_cache = {}
+        # Host-side wall-clock split of the last run_staged() call
+        # (setup/prep_wait/upload/dispatch/assoc/drain seconds).
+        self.last_staged_split: dict[str, float] | None = None
+        # Source variables the cached run_mesh ball replication was built
+        # from (weight-reload detection).
+        self._mesh_ball_vars_src = None
 
     @property
     def _ball_off(self) -> int:
@@ -814,8 +820,9 @@ class FusedPipeline:
         ball = self.ball
 
         # Wall-clock attribution of the staged loop's HOST-side terms
-        # (the device work overlaps them). Read via last_staged_split
-        # after a run; tools/perf_probe.py / bench.py surface it.
+        # (the device work overlaps them). Stored on self as
+        # `last_staged_split` after every run; bench.py surfaces it in
+        # the artifact's per-segment attribution.
         split = {"setup_s": 0.0, "prep_wait_s": 0.0, "upload_s": 0.0,
                  "dispatch_s": 0.0, "assoc_s": 0.0, "drain_s": 0.0}
         t_ph = time.perf_counter()
@@ -889,11 +896,16 @@ class FusedPipeline:
         next_prep = pool.submit(prepare, 0)
         pending = None
         for r in range(num_rounds):
+            t_ph = time.perf_counter()
             lo, arr, swap_all = next_prep.result()
+            split["prep_wait_s"] += time.perf_counter() - t_ph
             if r + 1 < num_rounds:
                 next_prep = pool.submit(prepare, r + 1)
 
+            t_ph = time.perf_counter()
             frames_dev = jnp.asarray(arr)
+            split["upload_s"] += time.perf_counter() - t_ph
+            t_ph = time.perf_counter()
             det_packed = det_scan(self.players.engine.variables, frames_dev)
             pose_packed = pose_scan(self.pose.engine.variables, frames_dev)
             ball_packed, frame_carry, heat_carry = ball_scan(
@@ -912,10 +924,12 @@ class FusedPipeline:
                 if court_scan is not None
                 else None
             )
+            split["dispatch_s"] += time.perf_counter() - t_ph
             det_ids = None
             if assoc_state is not None:
                 from ..ops.association_scan import associate_chunk
 
+                t_ph = time.perf_counter()
                 flat = det_packed.reshape(
                     (round_frames,) + det_packed.shape[2:]
                 )
@@ -927,13 +941,19 @@ class FusedPipeline:
                     first=(r == 0),
                 )
                 det_ids = det_ids.reshape(s, b, -1)
+                split["assoc_s"] += time.perf_counter() - t_ph
             if pending is not None:
+                t_ph = time.perf_counter()
                 self._drain_round(pending, builder, n, b, seq_len)
+                split["drain_s"] += time.perf_counter() - t_ph
             pending = (lo, det_packed, pose_packed, ball_packed, court_packed,
                        det_ids)
         pool.shutdown(wait=False)
         if pending is not None:
+            t_ph = time.perf_counter()
             self._drain_round(pending, builder, n, b, seq_len)
+            split["drain_s"] += time.perf_counter() - t_ph
+        self.last_staged_split = {k: round(v, 4) for k, v in split.items()}
 
         return builder.finish()
 
@@ -1401,6 +1421,19 @@ class FusedPipeline:
 
             shard = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
+
+            # Stable objects for the sharded ball pass: the window program
+            # is cached per (mesh, apply_fn, geometry) inside
+            # parallel/sharded_inference.py, so apply_fn must NOT be a
+            # fresh closure per call, and the weights enter as a runtime
+            # argument replicated ONCE here (not baked-in constants).
+            engine = ball.tracknet
+
+            def ball_apply(vars_rep, x):
+                return engine.model.apply(vars_rep, x)
+
+            ball_vars_rep = jax.device_put(engine.variables, rep)
+            self._mesh_ball_vars_src = engine.variables
             self._step_cache[key] = (
                 jax.jit(self._build_det_step(src_hw), in_shardings=(rep, shard)),
                 jax.jit(self._build_pose_step(src_hw), in_shardings=(rep, shard)),
@@ -1412,10 +1445,42 @@ class FusedPipeline:
                 else None,
                 shard,
                 rep,
+                ball_apply,
+                ball_vars_rep,
             )
-        det_step, pose_step, ball_pre_step, court_step, shard, rep = (
-            self._step_cache[key]
+        (det_step, pose_step, ball_pre_step, court_step, shard, rep,
+         ball_apply, ball_vars_rep) = self._step_cache[key]
+        if self._mesh_ball_vars_src is not ball.tracknet.variables:
+            # Weights changed since the cache entry was built: re-replicate
+            # them (the compiled programs take weights as arguments, so
+            # they stay valid).
+            ball_vars_rep = jax.device_put(ball.tracknet.variables, rep)
+            entry = list(self._step_cache[key])
+            entry[7] = ball_vars_rep
+            self._step_cache[key] = tuple(entry)
+            self._mesh_ball_vars_src = ball.tracknet.variables
+
+        # Replicate det/pose/court weights over the mesh ONCE per (key,
+        # weights) — passing the single-device variables straight into the
+        # jitted steps would make GSPMD re-broadcast them on EVERY block
+        # dispatch (a per-block all-device weight transfer on real
+        # hardware).
+        vkey = ("mesh_vars", key)
+        srcs = (
+            self.players.engine.variables,
+            self.pose.engine.variables,
+            self.court.engine.variables
+            if court_step is not None else None,
         )
+        cached = self._step_cache.get(vkey)
+        if cached is None or cached[0] != tuple(id(s) for s in srcs):
+            reps = tuple(
+                jax.device_put(s, rep) if s is not None else None
+                for s in srcs
+            )
+            cached = (tuple(id(s) for s in srcs), reps)
+            self._step_cache[vkey] = cached
+        det_vars_rep, pose_vars_rep, court_vars_rep = cached[1]
 
         builder = _ResultBuilder(self, n, src_hw, None)
         median_src_dev = jax.device_put(median_src, rep)
@@ -1429,7 +1494,12 @@ class FusedPipeline:
             assoc_state = init_state()
         num_blocks = -(-n // b)
         pending = None
-        for k in range(num_blocks):
+
+        def prepare(k: int):
+            """Host side of block k: decode fill, convert, pack — runs in
+            the depth-1 prefetch worker (cv2/numpy release the GIL) so the
+            next block's pack hides under this block's blocking upload,
+            same as run()/run_staged()."""
             lo, hi = k * b, min((k + 1) * b, n)
             avail = fw.fill_to(hi)
             frames = [
@@ -1440,13 +1510,23 @@ class FusedPipeline:
             fw.drop_below(hi)
             swap = np.zeros(b, np.float32)
             swap[: hi - lo] = quirk_flags[lo:hi]
+            return lo, hi, arr, swap
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(1)
+        next_prep = pool.submit(prepare, 0)
+        for k in range(num_blocks):
+            lo, hi, arr, swap = next_prep.result()
+            if k + 1 < num_blocks:
+                next_prep = pool.submit(prepare, k + 1)
             frames_dev = jax.device_put(arr, shard)
             swap_dev = jax.device_put(swap, shard)
-            det_packed = det_step(self.players.engine.variables, frames_dev)
-            pose_packed = pose_step(self.pose.engine.variables, frames_dev)
+            det_packed = det_step(det_vars_rep, frames_dev)
+            pose_packed = pose_step(pose_vars_rep, frames_dev)
             pre_packed = ball_pre_step(frames_dev, median_src_dev, swap_dev)
             court_packed = (
-                court_step(self.court.engine.variables, frames_dev)
+                court_step(court_vars_rep, frames_dev)
                 if court_step is not None
                 else None
             )
@@ -1465,17 +1545,13 @@ class FusedPipeline:
                 self._drain_block(pending, builder, n, pre_frames)
             pending = (lo, det_packed, pose_packed, pre_packed, court_packed,
                        det_ids)
+        pool.shutdown(wait=False)
         if pending is not None:
             self._drain_block(pending, builder, n, pre_frames)
 
         # ---- ball: one halo-exchange pass over the preprocessed clip ----
-        engine = ball.tracknet
-
-        def apply_fn(x):
-            return engine.model.apply(engine.variables, x)
-
         cx, cy, vis = sharded_window_inference(
-            apply_fn,
+            ball_apply,
             np.stack(pre_frames),
             median_resized,
             mesh,
@@ -1483,6 +1559,7 @@ class FusedPipeline:
             eval_mode=ball.EVAL_MODE,
             bg_mode=ball.bg_mode,
             stride=self.ball_stride,
+            variables=ball_vars_rep,
         )
         for i in range(n):
             builder.add_ball(int(cx[i]), int(cy[i]), int(vis[i]))

@@ -5,7 +5,7 @@ two sizes within one process samples the same tunnel weather.
 
 Packs REAL bench-clip frames (bench.make_clip content, mp4v-decoded) the
 exact way FusedPipeline._pack_chunk does (cv2 INTER_AREA + RGB2YUV_I420),
-perturbs one byte per buffer per rep (replay-cache defeat), and times
+perturbs one byte per frame per rep (replay-cache defeat), and times
 jnp.asarray + a scalar sync.
 
 Usage: python tools/wire_probe.py [n_frames=64] [sizes=960,640]
