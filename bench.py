@@ -840,6 +840,8 @@ def _bench_body(args, record: dict, time_left) -> None:
             host_fps = host_bw / bytes_per_frame
             chip_fps = device_split["device_fps"]
             record["multihost_model"] = {
+                "projection_basis":
+                    "BENCH.md 'Production projections' table",
                 "measured_host_upload_MBps": round(host_bw / 1e6, 1),
                 "measured_host_ingest_fps": round(host_fps, 1),
                 "measured_chip_fps": chip_fps,
