@@ -190,6 +190,29 @@ def _shift_cls_bias(variables, delta: float):
     return v
 
 
+def _scale_cls_kernel(variables, factor: float):
+    """Return variables with every cls head's final-projection kernel
+    scaled by `factor`. Untrained heads are bias-dominated: per-anchor
+    logits cluster within ~1e-3, so conf gating is all-or-nothing under
+    ANY uniform bias shift (the r5 first cut bisected straight to 0
+    candidates). Widening the content-driven spread lets the bias bisect
+    actually land between the extremes. Shapes (and hence timing) are
+    untouched, like _shift_cls_bias."""
+    from flax.core import unfreeze
+
+    v = dict(unfreeze(variables))
+    params = dict(v["params"])
+    for k in list(params):
+        if k.startswith("cls_"):
+            branch = dict(params[k])
+            proj = dict(branch["proj"])
+            proj["kernel"] = proj["kernel"] * factor
+            branch["proj"] = proj
+            params[k] = branch
+    v["params"] = params
+    return v
+
+
 def _probe_candidates(tracker, kind: str, frames_u8) -> tuple[float, int]:
     """Mean/max pre-NMS candidate count for a frame stack, through the
     tracker's OWN jitted step (variables are runtime args, so bias shifts
@@ -210,6 +233,48 @@ def _probe_candidates(tracker, kind: str, frames_u8) -> tuple[float, int]:
     return float(n_cand.mean()), int(n_cand.max())
 
 
+def _probe_score_quantiles(tracker, kind: str, frames_u8, ranks):
+    """Mean over frames of the k-th largest GATING score (the exact
+    quantity candidate_count compares against conf) for each k in
+    `ranks`, through the tracker's own preprocessing. One jitted program
+    per (kind, geometry); variables are runtime args, so kernel-scale
+    rounds reuse the compile."""
+    import jax.numpy as jnp
+
+    from padel_analytics_tpu.ops.resize import letterbox_plan, resize_plan
+    from padel_analytics_tpu.trackers.players import _person_scores
+
+    src_hw = frames_u8.shape[1:3]
+    if kind == "det":
+        plan = letterbox_plan(src_hw, tracker.IMGSZ)
+    else:
+        size = tracker.train_image_size
+        plan = resize_plan(src_hw, (size, size), "pil_bicubic")
+    model = tracker.engine.model
+
+    def build():
+        def qprobe(variables, f):
+            x = plan.apply(f) / 255.0
+            out = model.apply(variables, x)
+            s = out["scores"]
+            gate = _person_scores(s) if kind == "det" else s[..., 0]
+            srt = jnp.sort(gate, axis=-1)  # ascending, (B, A)
+            a = srt.shape[-1]
+            return jnp.stack(
+                [srt[:, a - min(r, a)].mean() for r in ranks]
+            )
+        return qprobe
+
+    step = tracker.engine.jit_step((kind, src_hw, "score_quantiles"), build)
+    vals = np.asarray(step(tracker.engine.variables, jnp.asarray(frames_u8)))
+    return {r: float(v) for r, v in zip(ranks, vals)}
+
+
+def _logit(p: float) -> float:
+    p = min(max(p, 1e-7), 1.0 - 1e-7)
+    return float(np.log(p / (1.0 - p)))
+
+
 def calibrate_synthetic_conf(runner, video: str, target: int = 16,
                              iters: int = 14) -> dict:
     """Make the bench's random-init YOLO heads gate like trained ones.
@@ -219,12 +284,15 @@ def calibrate_synthetic_conf(runner, video: str, target: int = 16,
     buffers on ALL 240 frames (pose max 33,600 = every anchor). Trained
     heads gate to tens of candidates even on dense scenes
     (tests/test_nms_topk_dense.py), so that workload is one no real
-    checkpoint produces. This bisects a uniform cls-bias shift per model
-    until ~`target` anchors/frame pass that model's conf threshold:
-    realistic NMS workloads, warning-free artifacts, identical program
-    shapes (the shift cannot change timing). Probes reuse the trackers'
-    own step caches; identical frame uploads ride the tunnel's replay
-    cache."""
+    checkpoint produces. This makes ~`target` anchors/frame pass each
+    model's conf threshold via two shape-preserving transforms (see the
+    loop comment): scale the cls kernel to widen the logit spread, then
+    shift the cls bias in closed form from a score-quantile probe.
+    Realistic NMS workloads, warning-free artifacts, identical program
+    shapes (neither transform can change timing). Probes reuse the
+    trackers' own step caches; identical frame uploads ride the tunnel's
+    replay cache. `iters` is kept for CLI compat (the closed-form
+    calibration converges in <=4 probe rounds)."""
     from padel_analytics_tpu.utils.video import frame_generator
 
     frames = []
@@ -242,22 +310,52 @@ def calibrate_synthetic_conf(runner, video: str, target: int = 16,
     for tracker, kind in jobs:
         if tracker is None:
             continue
-        orig = tracker.engine.variables
-        lo, hi = -40.0, 10.0  # mean count is monotone decreasing in delta
-        mid = mean = max_c = None
-        for _ in range(iters):
-            mid = (lo + hi) / 2.0
-            tracker.engine.variables = _shift_cls_bias(orig, mid)
+        base = tracker.engine.variables
+        conf = tracker.CONF
+        kernel_scale = 1.0
+        delta = 0.0
+        orig = base
+        mean = max_c = None
+        spread_rank = 3 * target
+        # Analytic calibration (the r5 first cut bisected the bias and
+        # cliffed to 0 candidates): untrained logits are bias-dominated
+        # (top-of-distribution spread ~1e-3), so (a) widen the content-
+        # driven spread by scaling the cls projection KERNEL — the
+        # needed factor follows from one quantile probe, spread scales
+        # linearly — then (b) set the bias shift in closed form:
+        # delta = logit(conf) - logit(target-th largest score). Both
+        # transforms preserve shapes, so compiled steps and timings are
+        # untouched. Typically 3 device probes per model.
+        for _ in range(4):
+            orig = (base if kernel_scale == 1.0
+                    else _scale_cls_kernel(base, kernel_scale))
+            tracker.engine.variables = orig
+            q = _probe_score_quantiles(
+                tracker, kind, frames, (1, target, spread_rank)
+            )
+            if q[target] >= 1.0 - 1e-6 or q[target] <= 1e-6:
+                kernel_scale /= 8.0  # overshot into sigmoid saturation
+                continue
+            spread = _logit(q[1]) - _logit(q[spread_rank])
+            if spread < 0.5:
+                kernel_scale *= min(
+                    max(4.0 / max(spread, 1e-4), 2.0), 256.0
+                )
+                continue
+            delta = _logit(conf) - _logit(q[target])
+            tracker.engine.variables = _shift_cls_bias(orig, delta)
             mean, max_c = _probe_candidates(tracker, kind, frames)
-            if mean > target:
-                hi = mid
-            else:
-                lo = mid
-            if target * 0.75 <= mean <= target * 1.5:
+            if target * 0.5 <= mean <= target * 2.0:
                 break
-        # The last-probed shift is the one left applied; report that.
+            kernel_scale *= 4.0  # distribution too steep between ranks
+        if mean is None:
+            # every round saturated/cliffed: leave the last shift applied
+            # and report the honest (degenerate) count
+            tracker.engine.variables = _shift_cls_bias(orig, delta)
+            mean, max_c = _probe_candidates(tracker, kind, frames)
         report[str(tracker)] = {
-            "bias_shift": round(mid, 3),
+            "bias_shift": round(delta, 4),
+            "kernel_scale": round(kernel_scale, 1),
             "mean_candidates": round(mean, 1),
             "max_candidates": max_c,
             "top_k": tracker.nms_top_k,
@@ -475,7 +573,13 @@ def main() -> int:
     # with the other encoder and records both (encoder_ab in the
     # artifact) unless --no-encoder-ab.
     parser.add_argument(
-        "--encoder", default="subprocess", choices=("inline", "subprocess"),
+        # Default inline: the r5 full-scale A/B measured the subprocess
+        # encoder at 15.85 vs inline 24.23 fps e2e on this 1-core host —
+        # the child steals the core from the tunnel's CPU-bound upload
+        # serializer, slowing INFERENCE more than it saves on encode
+        # (BENCH.md round-5). Subprocess stays available for multi-core
+        # hosts, where the overlap is real.
+        "--encoder", default="inline", choices=("inline", "subprocess"),
         help="video encode path for the draw pass (same mp4v output)",
     )
     parser.add_argument(

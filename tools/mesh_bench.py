@@ -44,6 +44,12 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--chunk", type=int, default=8)
+    # Timed rows are best-of-N: single passes on a contended 1-core host
+    # vary up to 2x run to run (BENCH_r05: in-bench parity 0.787 vs a
+    # clean standalone 1.204 the same morning), and the parity claim
+    # needs the CONTENTION-FREE rate of each program, not a sample of
+    # host load.
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -122,12 +128,19 @@ def main() -> int:
 
     results: dict = {"frames": n, "platform": "cpu-virtual"}
 
+    def timed_fps(run_once) -> float:
+        """Best-of-`--reps` fps for one warmed pipeline pass."""
+        best = 0.0
+        for _ in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            run_once()
+            best = max(best, n / (time.perf_counter() - t0))
+        return round(best, 2)
+
     # single-device reference (same platform, same models)
     pipe = build()
     pipe.run(iter(frames), n)  # warm/compile
-    t0 = time.perf_counter()
-    pipe.run(iter(frames), n)
-    results["single_device_fps"] = round(n / (time.perf_counter() - t0), 2)
+    results["single_device_fps"] = timed_fps(lambda: pipe.run(iter(frames), n))
 
     devs = jax.devices()
     mesh_fps = {}
@@ -138,9 +151,9 @@ def main() -> int:
         pipe_m = build()
         try:
             pipe_m.run_mesh(iter(frames), n, mesh)  # warm/compile
-            t0 = time.perf_counter()
-            pipe_m.run_mesh(iter(frames), n, mesh)
-            mesh_fps[str(d)] = round(n / (time.perf_counter() - t0), 2)
+            mesh_fps[str(d)] = timed_fps(
+                lambda: pipe_m.run_mesh(iter(frames), n, mesh)
+            )
         except Exception as e:  # noqa: BLE001
             mesh_fps[str(d)] = f"failed: {type(e).__name__}"
     results["mesh_fps_by_devices"] = mesh_fps
@@ -154,10 +167,8 @@ def main() -> int:
             pipe_a = build(assoc)
             try:
                 pipe_a.run_mesh(iter(frames), n, mesh8)  # warm
-                t0 = time.perf_counter()
-                pipe_a.run_mesh(iter(frames), n, mesh8)
-                results[f"mesh8_fps_assoc_{assoc}"] = round(
-                    n / (time.perf_counter() - t0), 2
+                results[f"mesh8_fps_assoc_{assoc}"] = timed_fps(
+                    lambda: pipe_a.run_mesh(iter(frames), n, mesh8)
                 )
             except Exception as e:  # noqa: BLE001
                 results[f"mesh8_fps_assoc_{assoc}"] = (
