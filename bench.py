@@ -837,48 +837,14 @@ def _bench_body(args, record: dict, time_left) -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: court-modes section skipped: {e!r}", file=sys.stderr)
 
-    mesh_scaling = None
-    if args.mesh and not args.smoke and time_left() > 240:
-        import subprocess
-
-        print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
-        # Failure-isolated: this section must NEVER take down the official
-        # artifact. The subprocess recompiles the whole pipeline for the
-        # virtual CPU mesh on this single-core host — under contention
-        # that once blew the 1200s timeout, and the uncaught
-        # TimeoutExpired killed bench.py before the JSON line printed.
-        # Budget: whatever is left under the bench deadline, capped.
-        try:
-            # best-of-2 rows (contention-robust parity) when the budget
-            # allows; single-shot when it's tight — a present-but-noisy
-            # mesh section beats a TimeoutExpired-skipped one.
-            reps = "2" if time_left() > 1500 else "1"
-            proc = subprocess.run(
-                [sys.executable,
-                 str(Path(__file__).parent / "tools" / "mesh_bench.py"),
-                 "--frames", "96", "--reps", reps],
-                capture_output=True, text=True,
-                timeout=max(120.0, min(1800.0, time_left() - 60)),
-            )
-            for line in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    mesh_scaling = json.loads(line)
-                    break
-                except json.JSONDecodeError:
-                    continue
-            if mesh_scaling is None:
-                print(
-                    f"bench: mesh bench failed: {proc.stderr[-500:]}",
-                    file=sys.stderr,
-                )
-        except (subprocess.TimeoutExpired, OSError) as e:
-            print(f"bench: mesh bench skipped: {e!r}", file=sys.stderr)
-
     # Reference-default heavy config (i420 @ full resolution, pose@1280 —
     # the reference's own config.py:30): measured alongside the fast-path
     # headline so every artifact carries both. pose@1280's first compile
     # is the expensive one (200-450s seen on the tunnel), hence the wide
-    # time gate.
+    # time gate. Runs BEFORE the mesh section since r5: it needs the
+    # chip+tunnel (the scarce, weather-dependent resource), while the
+    # mesh section is CPU-only and adapts to whatever budget remains —
+    # the old order starved parity out of every r5 artifact.
     parity_cfg = None
     # The main run IS the parity config only when it matches on every
     # axis the parity section pins: ingest, pose size, subpixel OFF,
@@ -921,6 +887,44 @@ def _bench_body(args, record: dict, time_left) -> None:
     if parity_cfg is not None:
         record["parity_config"] = parity_cfg
 
+    mesh_scaling = None
+    if args.mesh and not args.smoke and time_left() > 240:
+        import subprocess
+
+        print("bench: virtual-mesh scaling (CPU subprocess)...", file=sys.stderr)
+        # Failure-isolated: this section must NEVER take down the official
+        # artifact. The subprocess recompiles the whole pipeline for the
+        # virtual CPU mesh on this single-core host — under contention
+        # that once blew the 1200s timeout, and the uncaught
+        # TimeoutExpired killed bench.py before the JSON line printed.
+        # Budget: whatever is left under the bench deadline, capped.
+        try:
+            # Only the rows the parity claim needs (single, mesh-1dev,
+            # mesh-8dev, assoc A/B), each best-of-2: single-shot rows on
+            # this contended host sample load, not program cost (r5 saw
+            # 0.615-1.204 across runs of the SAME build). Dropping the
+            # 2/4-device rows pays for the reps. Full sweep:
+            # tools/mesh_bench.py --devices 1,2,4,8.
+            proc = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).parent / "tools" / "mesh_bench.py"),
+                 "--frames", "96", "--reps", "2", "--devices", "1,8"],
+                capture_output=True, text=True,
+                timeout=max(120.0, min(1800.0, time_left() - 60)),
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    mesh_scaling = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if mesh_scaling is None:
+                print(
+                    f"bench: mesh bench failed: {proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+        except (subprocess.TimeoutExpired, OSError) as e:
+            print(f"bench: mesh bench skipped: {e!r}", file=sys.stderr)
 
     if per_tracker is not None:
         record["per_tracker_fps_batch8"] = per_tracker

@@ -208,7 +208,13 @@ class SubprocessVideoWriter:
     unbounded memory; release() blocks on the child's ack, so any encode
     backlog is paid INSIDE the caller's timing window (the bench A/B
     cannot undercount the tail flush). `bench.py --encoder subprocess`
-    A/Bs this against the inline writer."""
+    A/Bs this against the inline writer.
+
+    Measured on the tunneled 1-core host this A/B is a NEGATIVE (r5:
+    15.85 vs inline 24.23 fps e2e): the tunnel's upload serializer is
+    itself CPU-bound, so the "idle wire wait" the child was meant to
+    fill is busy CPU and the child slows inference instead (BENCH.md
+    round-5). Use on multi-core hosts, where the overlap is real."""
 
     QUEUE_DEPTH = 4
 
